@@ -1,0 +1,315 @@
+"""The CDC engine: deterministic micro-batched replay of a change ledger into
+a lake table, exactly-once, with per-partition checkpoints and metrics.
+
+Lifecycle per batch (SURVEY.md §3.4):
+
+    changes ledger (LakeTable)                                  [source]
+      → slice per-part offset range (cp[p], cp[p]+batch_size]   [plan; file-stats pruning]
+      → LWW dedup, salted hot-url two-phase reduce              [shuffle 1]
+      → pandas/Arrow UDF: html → text on surviving rows only    [transform]
+      → merge vs current bucket state (full outer on url)       [shuffle 2, bucket-pruned]
+      → overwrite_buckets commit, carrying offsets in the same
+        manifest — checkpoint+data are ONE atomic transaction   [exactly-once]
+      → append per-part lineage row to _metrics                 [observability]
+
+Exactly-once: the manifest pointer swap is the commit point and the committed
+offsets ride in the same manifest (the reference needed a rename-swap publish
++ anti-join guard + high-water-mark table to approximate this —
+``/root/reference/Sql Scripts/FCT_RESERVATION_UPD.sql:255-256``,
+``FCT_ERBRESERVATION.sql:229-231``,
+``RestaurantDetails_Marta_v11_06152015.sql:153-155``). A crash between
+batches resumes from the committed offsets; a crash mid-batch leaves the old
+snapshot visible and the batch re-runs identically (deterministic slicing +
+deterministic reduce ⇒ identical result).
+
+Deletes are kept as **tombstones** (``_deleted=true`` with the delete's
+version) rather than physically removed: a late update older than an applied
+delete must stay dead regardless of how the replay was batched — tombstones
+make final state independent of batch boundaries and parallelism, which is
+the north rule's byte-identical-at-N-and-4N criterion.
+
+Scale posture: per-batch cost is O(batch + affected-bucket data), never
+O(table) — bucket pruning bounds the merge read, LWW runs as map-side
+combining aggregation (no window sort), the hot-url path splits skew
+explicitly, and the only Python in the hot path is the Arrow-batched
+extractor on post-dedup survivors.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake import LakeTable
+from . import evolve
+from .dedup import lww_dedup_salted
+from .extract import detect_lang_udf, extract_text_udf
+from .metrics import MetricsTable
+from .checkpoint import CheckpointsTable
+
+INTERNAL_COLS = ("_seq", "_deleted")
+CHECKPOINTS_PROP = "checkpoints"
+BATCH_PROP = "last_batch_id"
+
+
+@dataclass
+class EngineConfig:
+    ledger_path: str
+    pages_path: str
+    batch_size: int = 1_000_000  # events per feed partition per batch
+    num_buckets: int = 16
+    files_per_bucket: int = 1
+    salt_k: int = 16
+    hot_threshold: int = 100_000
+    watermark_delay_s: int | None = None  # drop events older than max(warc_ts)-delay
+    lang_col_priority: bool = True  # trust feed lang; detect only when absent
+    extra: dict = field(default_factory=dict)
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.ledger = LakeTable.load(cfg.ledger_path)
+        if LakeTable.exists(cfg.pages_path):
+            self.pages = LakeTable.load(cfg.pages_path)
+        else:
+            self.pages = self._create_pages()
+        self.metrics = MetricsTable.open(cfg.pages_path + "_metrics")
+        self.checkpoints = CheckpointsTable.open(cfg.pages_path + "_checkpoints")
+
+    # ------------------------------------------------------------------ setup
+
+    def _create_pages(self) -> LakeTable:
+        cols: list[tuple[str, str]] = []
+        for f in evolve.payload_fields(self.ledger):
+            cols.append((f.name, f.type))
+            if f.name == "html":
+                cols.append(("text", "string"))
+        cols += [("_seq", "bigint"), ("_deleted", "boolean")]
+        return LakeTable.create(
+            self.cfg.pages_path,
+            schema=cols,
+            bucket_col="url",
+            num_buckets=self.cfg.num_buckets,
+            properties={
+                CHECKPOINTS_PROP: "{}",
+                BATCH_PROP: "0",
+                evolve.FIELD_MAP_PROP: json.dumps(
+                    evolve.initial_field_map(self.ledger), sort_keys=True
+                ),
+            },
+        )
+
+    # ------------------------------------------------------------------ state
+
+    def committed_offsets(self) -> dict[int, int]:
+        raw = json.loads(self.pages.manifest.properties.get(CHECKPOINTS_PROP, "{}"))
+        return {int(k): int(v) for k, v in raw.items()}
+
+    def last_batch_id(self) -> int:
+        return int(self.pages.manifest.properties.get(BATCH_PROP, "0"))
+
+    def read_pages(self, spark: SparkSession | None = None) -> DataFrame:
+        """The user-facing view: live rows, internal columns hidden."""
+        df = self.pages.read(spark or self.spark)
+        return df.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
+    def _ledger_max_seq_per_part(self) -> dict[int, int]:
+        rows = (
+            self.ledger.read(self.spark)
+            .groupBy("part")
+            .agg(F.max("seq").alias("mx"))
+            .collect()
+        )
+        return {int(r["part"]): int(r["mx"]) for r in rows}
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, max_batches: int | None = None) -> int:
+        """Replay until the ledger is exhausted (or max_batches). Returns the
+        number of batches applied in this call."""
+        max_seq = self._ledger_max_seq_per_part()
+        applied = 0
+        while max_batches is None or applied < max_batches:
+            if not self.run_one_batch(max_seq):
+                break
+            applied += 1
+        return applied
+
+    def run_one_batch(self, max_seq: dict[int, int] | None = None) -> bool:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        if max_seq is None:
+            max_seq = self._ledger_max_seq_per_part()
+        cps = self.committed_offsets()
+        targets: dict[int, int] = {}
+        for p, mx in max_seq.items():
+            cp = cps.get(p, 0)
+            if cp < mx:
+                targets[p] = min(cp + cfg.batch_size, mx)
+        if not targets:
+            return False
+        batch_id = self.last_batch_id() + 1
+
+        # schema sync (ledger may have evolved since the last batch)
+        self.pages = evolve.sync_schema(self.ledger, self.pages)
+
+        # ---- source: offset-range slice with manifest file-stats pruning
+        lo = min(cps.get(p, 0) for p in targets)
+        hi = max(targets.values())
+
+        def overlaps(entry: dict) -> bool:
+            st = entry.get("stats")
+            if not st:
+                return True
+            return st["max_seq"] > lo and st["min_seq"] <= hi
+
+        raw = self.ledger.read(self.spark, file_filter=overlaps)
+        pred = None
+        for p, tgt in sorted(targets.items()):
+            c = (F.col("part") == p) & (F.col("seq") > cps.get(p, 0)) & (F.col("seq") <= tgt)
+            pred = c if pred is None else (pred | c)
+        events = raw.filter(pred)
+
+        if cfg.watermark_delay_s is not None:
+            wm = events.agg(F.max("warc_ts").alias("m")).collect()[0]["m"]
+            if wm is not None:
+                cutoff = F.lit(wm) - F.expr(f"INTERVAL {cfg.watermark_delay_s} SECONDS")
+                events = events.filter(F.col("warc_ts") >= cutoff)
+
+        # ---- per-part input stats (one pre-aggregated pass)
+        payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
+        instats = {
+            int(r["part"]): r
+            for r in events.groupBy("part")
+            .agg(
+                F.count("*").alias("events_in"),
+                F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes_html"),
+            )
+            .collect()
+        }
+
+        # ---- LWW dedup (salted hot-url two-phase reduce)
+        deduped = lww_dedup_salted(
+            events,
+            key="url",
+            order=("warc_ts", "seq"),
+            n_salts=cfg.salt_k,
+            hot_threshold=cfg.hot_threshold,
+        )
+
+        # ---- transform: extract text on survivors only (Arrow-vectorized)
+        lang_col = "language" if "language" in payload_names else "lang"
+        enriched = deduped.withColumn(
+            "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
+        )
+        if lang_col in payload_names:
+            src = F.col(lang_col) if cfg.lang_col_priority else F.lit(None).cast("string")
+            enriched = enriched.withColumn(
+                lang_col,
+                F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(
+                    F.coalesce(src, detect_lang_udf(F.col("text")))
+                ),
+            )
+
+        # ---- merge vs current state, pruned to affected buckets
+        bucket_of = self.pages.bucket_expr("url")
+        affected = sorted(
+            r["b"] for r in enriched.select(bucket_of.alias("b")).distinct().collect()
+        )
+        old = self.pages.read(self.spark, buckets=affected)
+
+        page_fields = [f.name for f in self.pages.manifest.current_fields]
+        n = enriched.alias("n")
+        o = old.alias("o")
+        joined = n.join(o, F.col("n.url") == F.col("o.url"), "full_outer")
+        has_new = F.col("n.seq").isNotNull()
+        has_old = F.col("o._seq").isNotNull()
+        newer = F.struct(F.col("n.warc_ts"), F.col("n.seq")) > F.struct(
+            F.col("o.warc_ts"), F.col("o._seq")
+        )
+        take_new = has_new & (~has_old | newer)
+
+        def new_val(name: str):
+            if name == "text":
+                return F.col("n.text")
+            if name == "_seq":
+                return F.col("n.seq")
+            if name == "_deleted":
+                return F.col("n.op") == "D"
+            return F.col(f"n.{name}")
+
+        out_cols = [
+            F.coalesce(F.col("n.url"), F.col("o.url")).alias("url")
+            if name == "url"
+            else F.when(take_new, new_val(name)).otherwise(F.col(f"o.{name}")).alias(name)
+            for name in page_fields
+        ]
+        klass = (
+            F.when(~has_new, F.lit("carry"))
+            .when(~has_old & (F.col("n.op") == "D"), F.lit("delete_absent"))
+            .when(~has_old, F.lit("insert"))
+            .when(take_new & (F.col("n.op") == "D"), F.lit("delete"))
+            .when(take_new, F.lit("update"))
+            .otherwise(F.lit("late_dropped"))
+        )
+        merged = joined.select(*out_cols, klass.alias("_class"), F.col("n.part").alias("_part"))
+        merged = merged.persist()
+        try:
+            mstats = {
+                (int(r["_part"]), r["_class"]): int(r["cnt"])
+                for r in merged.filter(F.col("_class") != "carry")
+                .groupBy("_part", "_class")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+
+            # ---- atomic commit: data + offsets + batch id in one manifest swap
+            new_cps = {**cps, **targets}
+            self.pages = self.pages.overwrite_buckets(
+                merged,
+                affected,
+                properties_update={
+                    CHECKPOINTS_PROP: json.dumps(
+                        {str(k): v for k, v in sorted(new_cps.items())}
+                    ),
+                    BATCH_PROP: str(batch_id),
+                },
+                files_per_bucket=cfg.files_per_bucket,
+            )
+        finally:
+            merged.unpersist()
+
+        # ---- observability (outside the transaction; deduped on read)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        survivors_by_part: dict[int, int] = {}
+        for (p, k), c in mstats.items():
+            survivors_by_part[p] = survivors_by_part.get(p, 0) + c
+        rows = []
+        for p in sorted(targets):
+            ev_in = int(instats.get(p, {"events_in": 0})["events_in"] or 0)
+            by = int(instats.get(p, {"bytes_html": 0})["bytes_html"] or 0)
+            rows.append(
+                {
+                    "batch_id": batch_id,
+                    "part": p,
+                    "events_in": ev_in,
+                    "inserts": mstats.get((p, "insert"), 0),
+                    "updates": mstats.get((p, "update"), 0),
+                    "deletes": mstats.get((p, "delete"), 0)
+                    + mstats.get((p, "delete_absent"), 0),
+                    "dedup_dropped": ev_in - survivors_by_part.get(p, 0),
+                    "late_dropped": mstats.get((p, "late_dropped"), 0),
+                    "bytes_html": by,
+                    "wall_ms": wall_ms,
+                    "events_per_sec": (ev_in / (wall_ms / 1000.0)) if wall_ms else 0.0,
+                }
+            )
+        self.metrics.append(self.spark, rows)
+        self.checkpoints.record(self.spark, batch_id, targets)
+        return True

@@ -1,0 +1,238 @@
+"""Deterministic synthetic change-ledger generator (binlog/WAL analog).
+
+Produces the ``changes`` table of FIXTURES.md §1 — Common-Crawl-style page
+change events ``(seq, part, op, url, warc_ts, html, lang)`` — as a
+:class:`~data_warehouse_etl_spark.lake.LakeTable`, written chunk-by-chunk with
+pyarrow (no Spark job; generation is part of the test/bench harness, not the
+engine). Everything is a pure function of ``LedgerSpec`` (seeded numpy RNG,
+fixed epoch), so two runs — or two cluster sizes — replay the identical
+ledger. No external data.
+
+The generated stream deliberately contains the hazards the reference's
+pipelines guard against:
+
+- **duplicates** — same (url, warc_ts) payload re-emitted under a new seq
+  (the reference dedups these by delete,
+  ``/root/reference/Sql Scripts/FCT_RESERVATION_UPD.sql:158-165``); LWW ties
+  break on seq, mirroring min-log-id selection
+  (``Sql Scripts/FCT_USER_CALCS.sql:5-16``).
+- **out-of-order arrivals** — warc_ts regressions within a partition (the
+  reference's rolling-window reloads exist precisely because of late data,
+  ``Sql Scripts/STG_SP_ATTRIBUTION_ET.sql:220-228``).
+- **deletes** — op='D' with null payload (DELETE+INSERT upsert idiom,
+  ``Sql Scripts/SILVERPOP_USER_INCREMENTAL.sql:409-413``).
+- **hot-url skew** — a power-law url popularity with an explicit super-hot
+  head, so the salted two-phase LWW reduce has real work.
+- **schema evolution mid-stream** — at ``evolve_at_seq`` the feed adds
+  ``fetch_status int`` and renames ``lang`` → ``language`` (field-id mapped),
+  replacing the reference's rebuild-and-rename idiom
+  (``Sql Scripts/FCT_RESERVATION_UPD.sql:167-256``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..lake import LakeTable
+
+EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z, fixed for determinism
+
+_TEMPLATES = [
+    (
+        "en",
+        "<html><head><title>Site {site} page {page}</title>"
+        "<script>var t = {v} * 2; track(t);</script>"
+        "<style>.x{{color:red}}</style></head>"
+        "<body><h1>Report {page} &amp; review</h1>"
+        "<p>The quick update is that the value of this page is {v} and the "
+        "team said it was good for the readers.</p>"
+        "<div>Contact: caf&eacute; &lt;staff&gt;<br/>Line two of the address</div>"
+        "<!-- build {v} --></body></html>",
+    ),
+    (
+        "de",
+        "<html><head><title>Seite {page} von {site}</title></head>"
+        "<body><h1>Bericht {page}</h1>"
+        "<p>Die neue Version ist {v} und das Team sagt, dass die Seite gut "
+        "f&uuml;r die Leser ist, mit einem Wert von {v}.</p>"
+        "<ul><li>Punkt eins</li><li>Punkt zwei {v}</li></ul></body></html>",
+    ),
+    (
+        "fr",
+        "<html><body><h1>Page {page} du site {site}</h1>"
+        "<p>La nouvelle version est {v} et l&apos;&eacute;quipe dit que la page est "
+        "bonne pour les lecteurs, avec une valeur de {v}.</p>"
+        "<table><tr><td>cl&eacute;</td><td>{v}</td></tr></table></body></html>",
+    ),
+    (
+        "es",
+        "<html><body><h1>P&aacute;gina {page} del sitio {site}</h1>"
+        "<p>La nueva versi&oacute;n es {v} y el equipo dice que la p&aacute;gina es "
+        "buena para los lectores, con un valor de {v}.</p></body></html>",
+    ),
+    (
+        "it",
+        "<html><body><h1>Pagina {page} del sito {site}</h1>"
+        "<p>La nuova versione &egrave; {v} e il team dice che la pagina &egrave; "
+        "buona per i lettori, con un valore di {v}.</p></body></html>",
+    ),
+]
+
+
+@dataclass
+class LedgerSpec:
+    n_urls: int = 1_000
+    n_events: int = 5_000
+    n_parts: int = 4
+    seed: int = 42
+    dup_rate: float = 0.05
+    delete_rate: float = 0.05
+    out_of_order_rate: float = 0.10
+    skew_exp: float = 2.0  # url popularity ~ floor(n_urls * u^skew_exp)
+    hot_url_rate: float = 0.01  # extra events pinned to url 0 (the super-hot key)
+    evolve_at_seq: int | None = None  # add fetch_status + rename lang->language here
+    chunk_rows: int = 250_000
+
+
+def _url(i: int) -> str:
+    return f"https://site{i % 97}.example/p/{i}"
+
+
+def _html_for(url_idx: int, version: int) -> bytes:
+    lang, tpl = _TEMPLATES[url_idx % len(_TEMPLATES)]
+    return tpl.format(site=url_idx % 97, page=url_idx, v=version).encode("utf-8")
+
+
+def _lang_for(url_idx: int) -> str:
+    return _TEMPLATES[url_idx % len(_TEMPLATES)][0]
+
+
+def generate_ledger(path: str, spec: LedgerSpec) -> LakeTable:
+    """Generate the ledger LakeTable at ``path``. Idempotent on re-call
+    (returns the existing table if already generated with a matching spec)."""
+    marker = os.path.join(path, "metadata", "gen_spec.txt")
+    spec_str = repr(spec)
+    if LakeTable.exists(path):
+        if os.path.exists(marker) and open(marker).read() == spec_str:
+            return LakeTable.load(path)
+        LakeTable.load(path).drop()
+
+    ledger = LakeTable.create(
+        path,
+        schema=[
+            ("seq", "bigint"),
+            ("part", "int"),
+            ("op", "string"),
+            ("url", "string"),
+            ("warc_ts", "timestamp"),
+            ("html", "binary"),
+            ("lang", "string"),
+        ],
+        bucket_col="part",
+        num_buckets=spec.n_parts,
+    )
+
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+
+    # --- event skeleton (vectorized) -------------------------------------
+    url_idx = np.floor(spec.n_urls * rng.random(n) ** spec.skew_exp).astype(np.int64)
+    hot = rng.random(n) < spec.hot_url_rate
+    url_idx[hot] = 0
+    seq = np.arange(1, n + 1, dtype=np.int64)
+    part = (seq % spec.n_parts).astype(np.int32)
+    ts_us = EPOCH_US + seq * 1_000_000
+    ooo = rng.random(n) < spec.out_of_order_rate
+    ts_us = np.where(ooo, ts_us - rng.integers(1, 3600, n) * 1_000_000, ts_us)
+
+    is_del = rng.random(n) < spec.delete_rate
+    is_dup = (~is_del) & (rng.random(n) < spec.dup_rate)
+
+    # per-event "version" drives payload content; dups reuse the previous
+    # version AND timestamp of the same url (same (url, warc_ts), new seq)
+    version = np.zeros(n, dtype=np.int64)
+    last_version: dict[int, int] = {}
+    last_ts: dict[int, int] = {}
+    seen: set[int] = set()
+    op = np.empty(n, dtype="U1")
+    for i in range(n):
+        u = int(url_idx[i])
+        if is_del[i]:
+            op[i] = "D"
+            version[i] = -1
+            continue
+        if is_dup[i] and u in last_version:
+            version[i] = last_version[u]
+            ts_us[i] = last_ts[u]
+        else:
+            version[i] = last_version.get(u, 0) + 1
+            last_version[u] = int(version[i])
+            last_ts[u] = int(ts_us[i])
+        op[i] = "U" if u in seen else "I"
+        seen.add(u)
+
+    evolve_at = spec.evolve_at_seq
+    schema_evolved = False
+
+    def _chunk_table(lo: int, hi: int, evolved: bool) -> pa.Table:
+        idxs = range(lo, hi)
+        html = [
+            None if op[i] == "D" else _html_for(int(url_idx[i]), int(version[i])) for i in idxs
+        ]
+        lang = [None if op[i] == "D" else _lang_for(int(url_idx[i])) for i in idxs]
+        cols = {
+            "seq": pa.array(seq[lo:hi]),
+            "part": pa.array(part[lo:hi]),
+            "op": pa.array(op[lo:hi].tolist()),
+            "url": pa.array([_url(int(u)) for u in url_idx[lo:hi]]),
+            "warc_ts": pa.array(ts_us[lo:hi], type=pa.timestamp("us", tz="UTC")),
+            "html": pa.array(html, type=pa.binary()),
+        }
+        if evolved:
+            cols["language"] = pa.array(lang)
+            cols["fetch_status"] = pa.array(
+                [None if op[i] == "D" else (200 if seq[i] % 29 else 404) for i in idxs],
+                type=pa.int32(),
+            )
+        else:
+            cols["lang"] = pa.array(lang)
+        return pa.table(cols)
+
+    data_dir = os.path.join(path, "data", "gen")
+    os.makedirs(data_dir, exist_ok=True)
+    lo = 0
+    file_no = 0
+    while lo < n:
+        hi = min(lo + spec.chunk_rows, n)
+        # split the chunk at the evolution boundary so each file has one schema
+        if evolve_at is not None and lo < evolve_at < hi:
+            hi = evolve_at
+        evolved_now = evolve_at is not None and lo >= evolve_at
+        if evolved_now and not schema_evolved:
+            ledger.add_column("fetch_status", "int")
+            ledger.rename_column("lang", "language")
+            schema_evolved = True
+        tbl = _chunk_table(lo, hi, evolved_now)
+        fname = f"chunk-{file_no:05d}.parquet"
+        pq.write_table(tbl, os.path.join(data_dir, fname))
+        ledger.register_files(
+            [
+                {
+                    "path": os.path.join("data", "gen", fname),
+                    "bucket": 0,
+                    "schema_version": ledger.manifest.schema_version,
+                    "stats": {"min_seq": int(seq[lo]), "max_seq": int(seq[hi - 1])},
+                }
+            ]
+        )
+        lo = hi
+        file_no += 1
+
+    with open(marker, "w") as fh:
+        fh.write(spec_str)
+    return ledger

@@ -1,0 +1,300 @@
+"""Training-data text operations over the ``documents`` table: dedup (exact /
+n-gram-Jaccard / MinHash-LSH / SimHash), fingerprinting, quality scoring,
+language id, token counting.
+
+All of these are first-class components of a 100 TB training-data pipeline.
+Design rules:
+
+- **Shared hash basis**: every content hash is ``md5`` of a string — the one
+  hash both Spark and DuckDB compute identically (hex lowercase), so each
+  query has an exact cross-engine oracle. At cluster scale you'd swap md5 for
+  xxhash64 (cheaper); the algebra is unchanged.
+- **Shuffle shape**: shingling explodes rows (|doc| × shingles), then every
+  dedup reduces by (shingle) or (band) — a key-partitioned aggregation with
+  map-side combine. Pair generation joins on the *bucket* key only, so the
+  candidate set is |bucket|²-bounded per bucket, never |corpus|².
+- LSH banding (4 bands × 4 rows here) is the standard Broder/MMDS
+  construction: docs agreeing on any band become candidates; band width
+  trades recall vs candidate volume. At 100 TB, band-bucket join keys are
+  exactly the salted-shuffle keys the CDC engine uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --- dialect-specific shingle CTEs (word 3-grams, deduped per doc) ---------
+
+_SHINGLES_SPARK = """
+    toks AS (SELECT doc_id, split(text, ' ') AS t FROM {doc}),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+        FROM (SELECT doc_id, t, explode(sequence(0, size(t)-3)) AS i
+              FROM toks WHERE size(t) >= 3))
+"""
+
+_SHINGLES_DUCK = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {doc}),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+              FROM toks WHERE len(t) >= 3))
+"""
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents_v")
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------- exact
+
+
+_EXACT_BODY = """
+    SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+    FROM (SELECT doc_id, md5(text) AS fp FROM {doc})
+    GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on full content (reference analog: DISTINCT
+    projections and dup probes, /root/reference/Sql Scripts/
+    FCT_RESERVATION_UPD.sql:158-162). One shuffle on the content hash."""
+    return _run(spark, sf, _EXACT_BODY.format(doc="documents_v"))
+
+
+# ------------------------------------------------------------ n-gram jaccard
+
+_JACCARD_BODY = """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Near-dup detection: word-3-gram shingle sets, pairwise Jaccard ≥ 0.6.
+    The pair join is keyed on the shingle (bounded fan-out per shingle), not
+    a cross join; Jaccard from |A∩B| and per-doc set sizes."""
+    return _run(spark, sf, "WITH " + _SHINGLES_SPARK.format(doc="documents_v") + _JACCARD_BODY)
+
+
+# -------------------------------------------------------------- minhash+LSH
+
+
+def _minhash_sql(shingle_cte: str, doc: str) -> str:
+    mh = ",\n               ".join(
+        f"MIN(md5('{i}#' || shingle)) AS mh{i}" for i in range(16)
+    )
+    bands = ",\n               ".join(
+        f"md5(mh{4 * b} || mh{4 * b + 1} || mh{4 * b + 2} || mh{4 * b + 3}) AS band{b}"
+        for b in range(4)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, band{b} AS band_hash FROM sig" for b in range(4)
+    )
+    return f"""
+    WITH {shingle_cte.format(doc=doc)},
+    minh AS (
+        SELECT doc_id,
+               {mh}
+        FROM sh GROUP BY doc_id),
+    sig AS (
+        SELECT doc_id,
+               {bands}
+        FROM minh),
+    bandrows AS (
+        {band_rows})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandrows a JOIN bandrows b
+      ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates: 16 min-hashes (min over md5 of
+    seed-prefixed shingles), banded 4×4; docs sharing any band hash are
+    candidates. The only join key is the band hash — the scale path for
+    corpus-level dedup (candidate volume ∝ bucket sizes, not corpus²)."""
+    return _run(spark, sf, _minhash_sql(_SHINGLES_SPARK, "documents_v"))
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def _simhash_sql(doc: str, split_fn: str) -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN substr(md5(word), {b + 1}, 1) IN {odd} THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH words AS (
+        SELECT doc_id, {split_fn} AS word FROM {doc}),
+    sums AS (
+        SELECT doc_id,
+               {sums}
+        FROM words GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash
+    FROM sums
+    """
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash document signatures (16-bit): per-word md5-nibble votes summed
+    per bit, sign → bit. Near-dups differ in few bits; grouping by simhash
+    (or by bit-bands of it) buckets candidates. One groupBy(doc) shuffle."""
+    return _run(
+        spark, sf, _simhash_sql("documents_v", "explode(split(text, ' '))")
+    )
+
+
+# ------------------------------------------------------------- fingerprint
+
+
+_FPRINT_BODY = """
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+    FROM (SELECT doc_id, md5(substr(lower(text), 1, 40)) AS fp FROM {doc})
+    GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    """Prefix fingerprinting: md5 of the normalized 40-char prefix groups
+    documents sharing an opening — a cheap first-pass near-dup blocker."""
+    return _run(spark, sf, _FPRINT_BODY.format(doc="documents_v"))
+
+
+# ----------------------------------------------------------------- quality
+
+
+_QUALITY_BODY = """
+    SELECT doc_id,
+           n_tokens,
+           ROUND(n_chars * 1.0 / n_tokens, 4) AS avg_token_len,
+           ROUND(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+           CASE WHEN n_tokens >= 20 AND n_stop * 1.0 / n_tokens >= 0.05
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM (
+        SELECT doc_id,
+               {size_fn} AS n_tokens,
+               length(text) AS n_chars,
+               {stop_expr} AS n_stop
+        FROM {doc})
+    WHERE {size_fn} > 0
+"""
+
+_STOP_WORDS = ("the", "a", "value", "row")
+
+
+def _stop_expr() -> str:
+    # occurrence counting via length-difference trick — identical in both
+    # engines, no per-row UDF: count(w) = (len(s) - len(replace(s, w, ''))) / len(w)
+    terms = [
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', '')))"
+        f" / {len(w) + 2} AS BIGINT)"
+        for w in _STOP_WORDS
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring: token count, mean token length, stopword ratio, and a
+    pass/fail gate — the Gopher/C4-style heuristics as pure column algebra
+    (no UDF; the length-difference trick counts substring occurrences)."""
+    sql = _QUALITY_BODY.format(
+        doc="documents_v", size_fn="size(split(text, ' '))", stop_expr=_stop_expr()
+    )
+    return _run(spark, sf, sql)
+
+
+# ------------------------------------------------------------------ lang id
+
+
+_LANGID_BODY = """
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN n_en >= 2 THEN 'en' ELSE 'other' END AS guessed_lang
+    FROM (SELECT doc_id, lang, {en_expr} AS n_en FROM {doc})
+"""
+
+
+def _en_expr() -> str:
+    terms = [
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', '')))"
+        f" / {len(w) + 2} AS BIGINT)"
+        for w in ("the", "a", "of")
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_lang_id(spark, sf):
+    """Language-id heuristic: English marker-word density (the full n-gram
+    model lives in cdc.extract.detect_lang_str as a pandas UDF; this is the
+    SQL-expressible projection of it with an exact oracle)."""
+    return _run(spark, sf, _LANGID_BODY.format(doc="documents_v", en_expr=_en_expr()))
+
+
+# -------------------------------------------------------------- token count
+
+
+_TOKCOUNT_SPARK = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(size(split(text, ' '))) AS total_tokens,
+           SUM(size(array_distinct(split(text, ' ')))) AS sum_distinct_tokens
+    FROM {doc} GROUP BY source
+"""
+
+_TOKCOUNT_DUCK = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           SUM(len(list_distinct(string_split(text, ' ')))) AS sum_distinct_tokens
+    FROM documents GROUP BY source
+"""
+
+
+def q_token_count(spark, sf):
+    """Token accounting per source: total + per-doc-distinct whitespace
+    tokens (the budget arithmetic of a training-data pipeline)."""
+    return _run(spark, sf, _TOKCOUNT_SPARK.format(doc="documents_v"))
+
+
+TEXT_QUERIES = {
+    "d1_dedup_exact": q_dedup_exact,
+    "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "d4_dedup_simhash": q_dedup_simhash,
+    "d5_doc_fingerprint": q_doc_fingerprint,
+    "d6_text_quality": q_text_quality,
+    "d7_lang_id": q_lang_id,
+    "d8_token_count": q_token_count,
+}
+
+TEXT_ORACLE = {
+    "d1_dedup_exact": _EXACT_BODY.format(doc="documents"),
+    "d2_dedup_ngram_jaccard": "WITH "
+    + _SHINGLES_DUCK.format(doc="documents")
+    + _JACCARD_BODY,
+    "d3_dedup_minhash_lsh": _minhash_sql(_SHINGLES_DUCK, "documents"),
+    "d4_dedup_simhash": _simhash_sql("documents", "unnest(string_split(text, ' '))"),
+    "d5_doc_fingerprint": _FPRINT_BODY.format(doc="documents"),
+    "d6_text_quality": _QUALITY_BODY.format(
+        doc="documents", size_fn="len(string_split(text, ' '))", stop_expr=_stop_expr()
+    ),
+    "d7_lang_id": _LANGID_BODY.format(doc="documents", en_expr=_en_expr()),
+    "d8_token_count": _TOKCOUNT_DUCK,
+}

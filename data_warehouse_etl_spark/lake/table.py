@@ -1,0 +1,476 @@
+"""LakeTable — an atomic-snapshot parquet lake table with Iceberg-style semantics.
+
+The engine targets Apache Iceberg on a real cluster; this sandbox has no
+network to fetch ``iceberg-spark-runtime`` jars, so LakeTable provides the
+same *semantics* on plain parquet + a JSON manifest, behind one interface
+(SURVEY.md §7 "Iceberg availability in sandbox"):
+
+- **Atomic snapshot commit**: every mutation writes new data files plus a new
+  manifest ``metadata/v{N}.json``, then atomically renames a pointer file.
+  Readers resolve the pointer first, so they see either the old or the new
+  snapshot, never a mix. This replaces the reference's shadow-rebuild +
+  ``ALTER TABLE RENAME`` publish idiom
+  (``/root/reference/Sql Scripts/FCT_RESERVATION_UPD.sql:255-256``,
+  ``DM_RESTAURANT_MOD.sql:120-122``).
+- **Field-id schema evolution**: columns are tracked by integer field id.
+  ``add_column`` / ``rename_column`` bump the schema version without touching
+  data files; old files are mapped to the current schema on read by field id
+  (rename-safe, add-as-null). This replaces the reference's manual
+  rebuild-with-extra-columns-and-rename idiom
+  (``FCT_RESERVATION_UPD.sql:167-256``).
+- **Bucket partitioning + pruning**: data files are laid out by
+  ``bucket(N, key)``; commits that only touch some buckets rewrite only those
+  buckets' files (copy-on-write MERGE granularity), and reads can prune to a
+  bucket subset. Analog of Iceberg's ``bucket(N, url)`` partition transform;
+  the reference's only layout directive, ``DISTRIBUTE ON RANDOM``
+  (``DM_FULL_BOOK.sql:14`` et al.), is strictly weaker.
+- **Transactional properties**: the manifest carries a string->string
+  properties map committed atomically with the data — the engine stores
+  per-partition committed offsets there, making checkpoint+data one
+  transaction (exactly-once; ETL_LOAD_CONTROL analog,
+  ``RestaurantDetails_Marta_v11_06152015.sql:153-155``).
+
+Concurrency: single-writer (the sandbox driver). A real deployment swaps this
+module for Iceberg's optimistic-locking catalog; the engine code above this
+interface is unchanged.
+
+Scale notes (100 TB posture): the manifest holds one entry per data file, so
+file count — not data volume — bounds manifest size; ``files_per_bucket``
+controls write parallelism so one bucket is not one giant file. Reads of a
+bucket subset list O(|subset|) files. At 10^10 events with bucket(1024, url),
+a batch touching all buckets rewrites the table — which is why the CDC layer
+prunes to *affected* buckets per batch before calling overwrite_buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_POINTER = "version-hint.text"
+
+
+@dataclass
+class FieldSpec:
+    """One column tracked by field id (Iceberg-style)."""
+
+    id: int
+    name: str
+    type: str  # Spark DDL type string, e.g. "string", "timestamp", "binary"
+
+    def to_json(self) -> dict[str, Any]:
+        return {"id": self.id, "name": self.name, "type": self.type}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "FieldSpec":
+        return FieldSpec(id=d["id"], name=d["name"], type=d["type"])
+
+
+@dataclass
+class Manifest:
+    table: str
+    version: int
+    schema_version: int
+    # schema history: schema_version -> ordered field list
+    schemas: dict[int, list[FieldSpec]]
+    next_field_id: int
+    bucket_col: str | None
+    num_buckets: int
+    # files: list of {"path": rel, "bucket": int, "schema_version": int, "rows": int}
+    files: list[dict[str, Any]] = field(default_factory=list)
+    properties: dict[str, str] = field(default_factory=dict)
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def current_fields(self) -> list[FieldSpec]:
+        return self.schemas[self.schema_version]
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "table": self.table,
+            "version": self.version,
+            "schema_version": self.schema_version,
+            "schemas": {
+                str(v): [f.to_json() for f in fields] for v, fields in self.schemas.items()
+            },
+            "next_field_id": self.next_field_id,
+            "bucket_col": self.bucket_col,
+            "num_buckets": self.num_buckets,
+            "files": self.files,
+            "properties": self.properties,
+            "history": self.history,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Manifest":
+        return Manifest(
+            table=d["table"],
+            version=d["version"],
+            schema_version=d["schema_version"],
+            schemas={
+                int(v): [FieldSpec.from_json(f) for f in fields]
+                for v, fields in d["schemas"].items()
+            },
+            next_field_id=d["next_field_id"],
+            bucket_col=d.get("bucket_col"),
+            num_buckets=d.get("num_buckets", 1),
+            files=d["files"],
+            properties=d.get("properties", {}),
+            history=d.get("history", []),
+        )
+
+
+def _spark_type(ddl: str) -> T.DataType:
+    return T._parse_datatype_string(ddl)
+
+
+class LakeTable:
+    """A versioned parquet table at ``path`` with atomic commits.
+
+    Use :meth:`create` once, then :meth:`load`. All mutations produce a new
+    immutable snapshot; :meth:`read` always reflects the last committed one.
+    """
+
+    def __init__(self, path: str, manifest: Manifest):
+        self.path = path
+        self.manifest = manifest
+
+    # ------------------------------------------------------------- lifecycle
+
+    @staticmethod
+    def create(
+        path: str,
+        schema: list[tuple[str, str]],
+        bucket_col: str | None = None,
+        num_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is [(name, spark_ddl_type), ...]."""
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        fields = [FieldSpec(i + 1, n, t) for i, (n, t) in enumerate(schema)]
+        m = Manifest(
+            table=os.path.basename(path.rstrip("/")),
+            version=0,
+            schema_version=0,
+            schemas={0: fields},
+            next_field_id=len(fields) + 1,
+            bucket_col=bucket_col,
+            num_buckets=num_buckets,
+            properties=dict(properties or {}),
+            history=[{"version": 0, "operation": "create"}],
+        )
+        LakeTable._write_manifest(path, m)
+        LakeTable._swap_pointer(path, 0)
+        return LakeTable(path, m)
+
+    @staticmethod
+    def load(path: str) -> "LakeTable":
+        with open(os.path.join(path, "metadata", _POINTER)) as fh:
+            version = int(fh.read().strip())
+        with open(os.path.join(path, "metadata", f"v{version}.json")) as fh:
+            return LakeTable(path, Manifest.from_json(json.load(fh)))
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "metadata", _POINTER))
+
+    def refresh(self) -> "LakeTable":
+        """Re-resolve the pointer (another committer may have advanced it)."""
+        return LakeTable.load(self.path)
+
+    # ------------------------------------------------------------------ read
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f.name, _spark_type(f.type), True) for f in self.manifest.current_fields]
+        )
+
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        """The table's partition transform: pmod(xxhash64(key), N).
+
+        Deterministic and engine-internal (plays the role of Iceberg's
+        murmur3 bucket transform). Callers use it to pre-compute affected
+        buckets for pruned reads and copy-on-write commits.
+        """
+        c = col or self.manifest.bucket_col
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(self.manifest.num_buckets)).cast("int")
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        file_filter=None,
+    ) -> DataFrame:
+        """Read the current snapshot, optionally pruned to a bucket subset.
+
+        ``file_filter`` is an optional predicate over manifest file entries —
+        the engine uses it for file-stats pruning (skip ledger files whose
+        ``stats.min_seq/max_seq`` range doesn't overlap the batch), the
+        manifest-level analog of Iceberg's per-file column stats.
+
+        Files written under older schema versions are mapped to the current
+        schema by field id: renamed columns resolve to their current name,
+        added columns appear as typed nulls.
+        """
+        m = self.manifest
+        files = m.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if file_filter is not None:
+            files = [f for f in files if file_filter(f)]
+        if not files:
+            return spark.createDataFrame([], self.schema())
+
+        cur = m.current_fields
+        out: DataFrame | None = None
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_version"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        for sv, paths in sorted(by_schema.items()):
+            old_by_id = {f.id: f for f in m.schemas[sv]}
+            df = spark.read.parquet(*paths)
+            cols = []
+            for f in cur:
+                old = old_by_id.get(f.id)
+                if old is not None:
+                    cols.append(F.col(old.name).cast(_spark_type(f.type)).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(_spark_type(f.type)).alias(f.name))
+            part = df.select(*cols)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # ----------------------------------------------------------------- write
+
+    def _write_data(self, df: DataFrame, files_per_bucket: int = 1) -> list[dict[str, Any]]:
+        """Write df as parquet split by the table's bucket transform.
+
+        Returns manifest file entries. Rows are shuffled once on the bucket
+        id (plus an optional intra-bucket split for write parallelism) so
+        each bucket lands in few, large files — the layout a pruned merge
+        later relies on.
+        """
+        m = self.manifest
+        snap_dir = f"data/snap-{uuid.uuid4().hex[:12]}"
+        abs_dir = os.path.join(self.path, snap_dir)
+        names = [f.name for f in m.current_fields]
+        if m.bucket_col:
+            df = df.withColumn("_bucket", self.bucket_expr())
+            if files_per_bucket > 1:
+                df = df.repartition(
+                    m.num_buckets * files_per_bucket,
+                    F.col("_bucket"),
+                    F.pmod(F.xxhash64(F.col(m.bucket_col)), F.lit(files_per_bucket)),
+                )
+            else:
+                df = df.repartition(m.num_buckets, F.col("_bucket"))
+            df.select("_bucket", *names).write.mode("overwrite").partitionBy("_bucket").parquet(
+                abs_dir
+            )
+        else:
+            df.select(*names).write.mode("overwrite").parquet(abs_dir)
+
+        entries: list[dict[str, Any]] = []
+        for root, _dirs, fnames in os.walk(abs_dir):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel_root = os.path.relpath(root, self.path)
+                bucket = 0
+                if "_bucket=" in root:
+                    bucket = int(root.rsplit("_bucket=", 1)[1].split(os.sep)[0])
+                entries.append(
+                    {
+                        "path": os.path.join(rel_root, fn),
+                        "bucket": bucket,
+                        "schema_version": m.schema_version,
+                    }
+                )
+        return entries
+
+    def _commit(
+        self,
+        new_files: list[dict[str, Any]],
+        operation: str,
+        properties_update: dict[str, str] | None = None,
+        schemas_update: dict[int, list[FieldSpec]] | None = None,
+        schema_version: int | None = None,
+        next_field_id: int | None = None,
+    ) -> "LakeTable":
+        m = self.manifest
+        # single-writer CAS: verify the pointer hasn't advanced under us
+        with open(os.path.join(self.path, "metadata", _POINTER)) as fh:
+            if int(fh.read().strip()) != m.version:
+                raise RuntimeError(
+                    f"concurrent commit detected on {m.table}: refresh() and retry"
+                )
+        new = Manifest(
+            table=m.table,
+            version=m.version + 1,
+            schema_version=m.schema_version if schema_version is None else schema_version,
+            schemas={**m.schemas, **(schemas_update or {})},
+            next_field_id=m.next_field_id if next_field_id is None else next_field_id,
+            bucket_col=m.bucket_col,
+            num_buckets=m.num_buckets,
+            files=new_files,
+            properties={**m.properties, **(properties_update or {})},
+            history=m.history + [{"version": m.version + 1, "operation": operation}],
+        )
+        LakeTable._write_manifest(self.path, new)
+        LakeTable._swap_pointer(self.path, new.version)
+        self.manifest = new
+        return self
+
+    def append(
+        self,
+        df: DataFrame,
+        properties_update: dict[str, str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> "LakeTable":
+        entries = self._write_data(df, files_per_bucket)
+        return self._commit(
+            self.manifest.files + entries, "append", properties_update=properties_update
+        )
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        properties_update: dict[str, str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> "LakeTable":
+        """Copy-on-write: replace exactly the given buckets' files with df.
+
+        df must contain only rows belonging to ``buckets`` (the CDC apply
+        guarantees this by construction). Untouched buckets' files carry over
+        into the new snapshot unchanged — the pruning that keeps per-batch
+        merge cost proportional to the batch, not the table.
+        """
+        entries = self._write_data(df, files_per_bucket)
+        bset = set(buckets)
+        kept = [f for f in self.manifest.files if f["bucket"] not in bset]
+        return self._commit(
+            kept + entries, "overwrite_buckets", properties_update=properties_update
+        )
+
+    def replace(
+        self,
+        df: DataFrame,
+        properties_update: dict[str, str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> "LakeTable":
+        """Atomic truncate-and-reload (reference S3/S4 publish idiom)."""
+        entries = self._write_data(df, files_per_bucket)
+        return self._commit(entries, "replace", properties_update=properties_update)
+
+    def set_properties(self, properties_update: dict[str, str]) -> "LakeTable":
+        return self._commit(self.manifest.files, "set_properties", properties_update)
+
+    def register_files(
+        self,
+        entries: list[dict[str, Any]],
+        operation: str = "append_files",
+        properties_update: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """Commit externally-written parquet files into the table.
+
+        Used by the ledger generator, which writes deterministic parquet via
+        pyarrow (no Spark job) and registers the files with per-file stats
+        (``{"path", "bucket", "schema_version", "stats": {...}}``) so reads
+        can prune by seq range.
+        """
+        for e in entries:
+            e.setdefault("schema_version", self.manifest.schema_version)
+            e.setdefault("bucket", 0)
+        return self._commit(
+            self.manifest.files + entries, operation, properties_update=properties_update
+        )
+
+    # ------------------------------------------------------- schema evolution
+
+    def add_column(self, name: str, ddl_type: str) -> "LakeTable":
+        """ALTER TABLE ADD COLUMN — new field id; old files read as null."""
+        m = self.manifest
+        if any(f.name == name for f in m.current_fields):
+            return self
+        sv = m.schema_version + 1
+        fields = [FieldSpec(f.id, f.name, f.type) for f in m.current_fields]
+        fields.append(FieldSpec(m.next_field_id, name, ddl_type))
+        return self._commit(
+            m.files,
+            f"add_column:{name}",
+            schemas_update={sv: fields},
+            schema_version=sv,
+            next_field_id=m.next_field_id + 1,
+        )
+
+    def rename_column(self, old: str, new: str) -> "LakeTable":
+        """ALTER TABLE RENAME COLUMN — same field id, new name; old files
+        still resolve by id (the evolution the reference could only do by
+        rebuilding the table)."""
+        m = self.manifest
+        if not any(f.name == old for f in m.current_fields):
+            return self
+        sv = m.schema_version + 1
+        fields = [
+            FieldSpec(f.id, new if f.name == old else f.name, f.type) for f in m.current_fields
+        ]
+        bucket_col = m.bucket_col
+        out = self._commit(
+            m.files, f"rename_column:{old}->{new}", schemas_update={sv: fields}, schema_version=sv
+        )
+        if bucket_col == old:
+            out.manifest.bucket_col = new
+            LakeTable._write_manifest(out.path, out.manifest)
+        return out
+
+    # ------------------------------------------------------------- internals
+
+    @staticmethod
+    def _write_manifest(path: str, m: Manifest) -> None:
+        target = os.path.join(path, "metadata", f"v{m.version}.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(m.to_json(), fh)
+        os.rename(tmp, target)
+
+    @staticmethod
+    def _swap_pointer(path: str, version: int) -> None:
+        target = os.path.join(path, "metadata", _POINTER)
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.rename(tmp, target)  # POSIX atomic replace = the commit point
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def state_hash(df: DataFrame, exclude: list[str] | None = None) -> int:
+    """Order-insensitive content hash of a DataFrame — the byte-identical
+    final-state verifier (reference MINUS-reconciliation analog,
+    ``/root/reference/Sql Scripts/mayrecon_process.sql:129-132``).
+
+    Canonicalizes every row to a string (sorted column order, NULL sentinel),
+    hashes with xxhash64, and sums in a single aggregate — associative and
+    commutative, hence invariant to partitioning, parallelism, and row order.
+    """
+    cols = sorted(c for c in df.columns if not (exclude and c in exclude))
+    canon = F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    row = df.select(F.xxhash64(canon).alias("h"))
+    out = row.agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+    return int(out) if out is not None else 0

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Defaults follow the engine's scale posture (SURVEY.md §4): AQE on (runtime
+re-plan, skew-join split, partition coalescing), Arrow on (pandas UDF path),
+UTC session timezone (determinism — the reference's convert_tz pattern,
+``/root/reference/Sql Scripts/FCT_RESERVATION_UPD.sql:11``, is replaced by
+explicit from_utc_timestamp on UTC-normalized data).
+
+``shuffle_partitions`` should track cluster parallelism: on a real cluster
+(spark-submit --py-files) set it to 2-3x total executor cores; locally we
+match the local[N] thread count. AQE coalesces down when partitions are
+small, so oversizing is safe; undersizing at 100 TB is not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_warehouse_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    On a real cluster, pass ``master=None`` and let spark-submit supply it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        if inner.isdigit():
+            shuffle_partitions = max(int(inner), 4)
+        else:
+            shuffle_partitions = max(os.cpu_count() or 8, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    if master:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

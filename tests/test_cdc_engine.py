@@ -1,0 +1,192 @@
+"""End-to-end CDC engine tests: replay vs oracle, resume, evolution, LWW laws.
+
+The oracle independently recomputes the expected final state with pandas
+(groupby-idxmax over (warc_ts, seq), window-free) from the raw ledger files —
+the reference's recomputed-state reconciliation pattern
+(``/root/reference/Sql Scripts/Monthly Stats - Fact Scripts.sql:299-366``).
+"""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_etl_spark.cdc import CdcEngine, EngineConfig, LedgerSpec, generate_ledger
+from data_warehouse_etl_spark.cdc.extract import extract_text_bytes
+from data_warehouse_etl_spark.lake import LakeTable, state_hash
+
+
+def _oracle_final_state(ledger: LakeTable) -> pd.DataFrame:
+    """Expected live rows after full replay: per url, argmax (warc_ts, seq);
+    rows whose winner is a delete are absent. Pure pandas, no Spark."""
+    parts = []
+    for f in ledger.manifest.files:
+        df = pq.read_table(os.path.join(ledger.path, f["path"])).to_pandas()
+        if "lang" in df.columns:
+            df = df.rename(columns={"lang": "language"})
+        if "language" not in df.columns:
+            df["language"] = None
+        if "fetch_status" not in df.columns:
+            df["fetch_status"] = pd.array([None] * len(df), dtype="Int32")
+        parts.append(df)
+    ev = pd.concat(parts, ignore_index=True)
+    # row-wise last writer per url (NOT groupby().last(), which is column-wise
+    # last-NON-NULL and silently mixes values from different events)
+    ev = ev.sort_values(["warc_ts", "seq"]).drop_duplicates("url", keep="last")
+    live = ev[ev["op"] != "D"].copy()
+    live["text"] = live["html"].map(lambda b: extract_text_bytes(bytes(b)))
+    return live[["url", "warc_ts", "text", "language", "fetch_status"]].sort_values(
+        "url"
+    ).reset_index(drop=True)
+
+
+def _engine_final_state(spark, eng: CdcEngine) -> pd.DataFrame:
+    cols = ["url", "warc_ts", "text"]
+    extra = [c for c in ("language", "lang", "fetch_status") if c in eng.read_pages().columns]
+    df = eng.read_pages().select(*cols, *extra).toPandas()
+    if "lang" in df.columns:
+        df = df.rename(columns={"lang": "language"})
+    if "fetch_status" not in df.columns:
+        df["fetch_status"] = pd.array([None] * len(df), dtype="Int32")
+    return df[["url", "warc_ts", "text", "language", "fetch_status"]].sort_values(
+        "url"
+    ).reset_index(drop=True)
+
+
+SPEC = LedgerSpec(n_urls=300, n_events=3000, n_parts=4, seed=7, evolve_at_seq=None)
+SPEC_EVOLVE = LedgerSpec(n_urls=300, n_events=3000, n_parts=4, seed=7, evolve_at_seq=1500)
+
+
+@pytest.fixture(scope="module")
+def ledger(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ledger")
+    return generate_ledger(str(d / "changes"), SPEC)
+
+
+def _mk_engine(spark, ledger, tmp, batch_size=500, **kw):
+    cfg = EngineConfig(
+        ledger_path=ledger.path,
+        pages_path=os.path.join(str(tmp), "pages"),
+        batch_size=batch_size,
+        num_buckets=4,
+        salt_k=4,
+        hot_threshold=kw.pop("hot_threshold", 50),
+        **kw,
+    )
+    return CdcEngine(spark, cfg)
+
+
+def test_minimal_iud_slice(spark, tmp_path):
+    """The 3-event I/U/D-on-one-url scenario (SURVEY.md §7 step 3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    led = LakeTable.create(
+        str(tmp_path / "led"),
+        [("seq", "bigint"), ("part", "int"), ("op", "string"), ("url", "string"),
+         ("warc_ts", "timestamp"), ("html", "binary"), ("lang", "string")],
+        bucket_col="part", num_buckets=1,
+    )
+    t0 = pd.Timestamp("2024-01-01", tz="UTC")
+    rows = pa.table({
+        "seq": pa.array([1, 2, 3, 4], pa.int64()),
+        "part": pa.array([0, 0, 0, 0], pa.int32()),
+        "op": ["I", "U", "I", "D"],
+        "url": ["u/a", "u/a", "u/b", "u/a"],
+        "warc_ts": pa.array([t0, t0 + pd.Timedelta("1h"), t0, t0 + pd.Timedelta("2h")],
+                            pa.timestamp("us", tz="UTC")),
+        "html": pa.array([b"<p>v1</p>", b"<p>v2</p>", b"<p>b1</p>", None], pa.binary()),
+        "lang": ["en", "en", "en", None],
+    })
+    papq.write_table(rows, str(tmp_path / "led" / "data" / "f.parquet"))
+    led.register_files([{"path": "data/f.parquet", "bucket": 0,
+                         "stats": {"min_seq": 1, "max_seq": 4}}])
+
+    eng = _mk_engine(spark, led, tmp_path, batch_size=10)
+    assert eng.run() == 1
+    got = {r["url"]: r["text"] for r in eng.read_pages().collect()}
+    assert got == {"u/b": "b1"}  # u/a deleted by the last event
+    # tombstone retained internally (late-arrival protection)
+    internal = eng.pages.read(spark).filter(F.col("_deleted")).collect()
+    assert [r["url"] for r in internal] == ["u/a"]
+
+
+def test_full_replay_matches_oracle(spark, ledger, tmp_path):
+    eng = _mk_engine(spark, ledger, tmp_path, batch_size=400)
+    n_batches = eng.run()
+    assert n_batches > 1  # genuinely micro-batched
+    got = _engine_final_state(spark, eng)
+    want = _oracle_final_state(ledger)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_resume_equals_oneshot(spark, ledger, tmp_path):
+    one = _mk_engine(spark, ledger, tmp_path / "a", batch_size=400)
+    one.run()
+    h_one = state_hash(one.read_pages())
+
+    two = _mk_engine(spark, ledger, tmp_path / "b", batch_size=400)
+    two.run(max_batches=2)  # "crash" after 2 batches
+    # brand-new engine instance resumes from committed offsets
+    resumed = _mk_engine(spark, ledger, tmp_path / "b", batch_size=400)
+    assert resumed.committed_offsets() == two.committed_offsets()
+    resumed.run()
+    assert state_hash(resumed.read_pages()) == h_one
+
+    # re-running an exhausted ledger is a no-op (idempotent replay)
+    assert resumed.run() == 0
+    assert state_hash(resumed.read_pages()) == h_one
+
+
+def test_parallelism_invariance_shuffle_partitions(spark, ledger, tmp_path):
+    """Same ledger, different shuffle widths ⇒ identical state (north-rule
+    determinism; the full local[8]-vs-local[32] run lives in bench.py)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = _mk_engine(spark, ledger, tmp_path / "p2", batch_size=700)
+        a.run()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = _mk_engine(spark, ledger, tmp_path / "p13", batch_size=700)
+        b.run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert state_hash(a.read_pages()) == state_hash(b.read_pages())
+
+
+def test_batch_size_invariance(spark, ledger, tmp_path):
+    a = _mk_engine(spark, ledger, tmp_path / "big", batch_size=3000)
+    a.run()
+    b = _mk_engine(spark, ledger, tmp_path / "small", batch_size=150)
+    b.run()
+    assert state_hash(a.read_pages()) == state_hash(b.read_pages())
+
+
+def test_schema_evolution_replay(spark, tmp_path):
+    led = generate_ledger(str(tmp_path / "changes"), SPEC_EVOLVE)
+    eng = _mk_engine(spark, led, tmp_path, batch_size=500)
+    eng.run()
+    cols = set(eng.read_pages().columns)
+    assert "language" in cols and "fetch_status" in cols and "lang" not in cols
+    got = _engine_final_state(spark, eng)
+    want = _oracle_final_state(led)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_metrics_and_checkpoints_emitted(spark, ledger, tmp_path):
+    eng = _mk_engine(spark, ledger, tmp_path, batch_size=1000)
+    eng.run()
+    m = eng.metrics.read(spark).toPandas()
+    assert set(m["part"]) == {0, 1, 2, 3}
+    assert (m["events_in"] > 0).all()
+    total_in = int(m["events_in"].sum())
+    assert total_in == SPEC.n_events
+    # conservation: every input event is accounted for
+    applied = int((m["inserts"] + m["updates"] + m["deletes"]).sum())
+    dropped = int((m["dedup_dropped"] + m["late_dropped"]).sum())
+    assert applied + dropped == total_in
+    cp = eng.checkpoints.read(spark).toPandas()
+    per_part_final = cp.sort_values("batch_id").groupby("part")["committed_seq"].last()
+    assert dict(per_part_final) == eng.committed_offsets()

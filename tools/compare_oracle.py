@@ -1,0 +1,100 @@
+"""Local mimic of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB over the same sf dir; compare row count,
+column names, and an order-insensitive value hash (values stringified with
+float rounding, columns sorted by name).
+
+Usage: python tools/compare_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    canon_rows = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for r in canon_rows:
+        h.update(r.encode("utf-8", "replace"))
+        h.update(b"\x02")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from data_warehouse_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="compare_oracle")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"OK?   {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            hs, hd = value_hash(srows, scols), value_hash(drows, dcols)
+            if hs != hd:
+                problems.append(f"valuehash spark={hs} duckdb={hd}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}: rows={len(srows)}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
