@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query (the engine's LWW CDC-replay law expressed
+over the events table). ``queries``/``oracle_sql`` expose one entry per
+implemented operator family from SURVEY.md §2 plus the training-data ops
+(dedup / similarity / text analysis); each is validated against DuckDB at
+sf=0.01 by the driver.
 """
 
 from __future__ import annotations
@@ -13,26 +13,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_warehouse_etl_spark.operators import PARITY_ORACLE, PARITY_QUERIES
+from data_warehouse_etl_spark.functions import (
+    SIM_ORACLE,
+    SIM_QUERIES,
+    TEXT_ORACLE,
+    TEXT_QUERIES,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC apply law as a query — replay the events change feed
+    with last-writer-wins and drop deleted keys (SURVEY.md §2.5 W2 / §2.9 M2)."""
+    return PARITY_QUERIES["m2_cdc_lww_replay"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(PARITY_QUERIES)
+    out.update(TEXT_QUERIES)
+    out.update(SIM_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(PARITY_ORACLE)
+    out.update(TEXT_ORACLE)
+    out.update(SIM_ORACLE)
+    return out

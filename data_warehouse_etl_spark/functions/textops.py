@@ -75,11 +75,11 @@ _JACCARD_BODY = """
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
     FROM pairs
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
 """
 
 
@@ -184,9 +184,9 @@ def q_doc_fingerprint(spark, sf):
 _QUALITY_BODY = """
     SELECT doc_id,
            n_tokens,
-           ROUND(n_chars * 1.0 / n_tokens, 4) AS avg_token_len,
-           ROUND(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
-           CASE WHEN n_tokens >= 20 AND n_stop * 1.0 / n_tokens >= 0.05
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
                 THEN 1 ELSE 0 END AS quality_pass
     FROM (
         SELECT doc_id,
@@ -194,7 +194,7 @@ _QUALITY_BODY = """
                length(text) AS n_chars,
                {stop_expr} AS n_stop
         FROM {doc})
-    WHERE {size_fn} > 0
+    WHERE n_tokens > 0
 """
 
 _STOP_WORDS = ("the", "a", "value", "row")

@@ -693,10 +693,12 @@ PARITY_ORACLE = {
         GROUP BY 1
     """,
     "p9_composite_in": """
-        SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
-        WHERE (l_partkey, l_suppkey) IN (
-            SELECT l_partkey, l_suppkey FROM lineitem
-            GROUP BY 1, 2 HAVING SUM(l_quantity) > 90)
+        SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem l
+        WHERE EXISTS (
+            SELECT 1 FROM (
+                SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+                GROUP BY 1, 2 HAVING SUM(l_quantity) > 90) b
+            WHERE b.pk = l.l_partkey AND b.sk = l.l_suppkey)
         GROUP BY 1
     """,
     "s9_json_flatten": """
@@ -816,9 +818,9 @@ PARITY_ORACLE = {
     """,
     "a10_weighted_score": """
         SELECT user_id,
-               ROUND(0.5 * SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
-                   + 0.3 * SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
-                   + 0.2 * SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END), 4) AS score
+               ROUND(0.5e0 * SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                   + 0.3e0 * SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                   + 0.2e0 * SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END), 4) AS score
         FROM events GROUP BY 1
     """,
     "w1_global_surrogate_ids": """
