@@ -1,0 +1,226 @@
+"""Benchmark harness.
+
+Measures the engine's north-star metric — change-events/sec applied
+end-to-end (ledger read → extract → LWW dedup → merge commit) — plus the
+two-cluster-size scaling criterion (BASELINE.json): the same replay at
+parallelism P and 4P on the same input, reporting both throughputs,
+efficiency = (T_4P / T_P) / 4, and byte-identical final state.
+
+Also times the headline parity queries on $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_wall", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "events_per_sec": ..., "scaling": {...}}
+and writes BENCH/BASELINE.md.
+
+Each replay measurement runs in a subprocess (fresh JVM) so local[8] vs
+local[32] are honest, independent sessions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW_CPUS = max(CPUS // 4, 1)
+
+HEADLINE = [
+    "a1_groupby_agg",
+    "j6_range_join",
+    "w2_lww_rank",
+    "m2_cdc_lww_replay",
+    "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh",
+    "v1_knn_bruteforce",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_ledger_path(sf: float) -> str:
+    return os.path.join(REPO, ".bench", f"ledger_sf{sf}")
+
+
+def ledger_spec(sf: float):
+    from data_warehouse_etl_spark.cdc import LedgerSpec
+
+    n_events = max(int(20_000_000 * sf), 20_000)
+    return LedgerSpec(
+        n_urls=max(n_events // 10, 1_000),
+        n_events=n_events,
+        n_parts=32,
+        seed=42,
+        dup_rate=0.05,
+        delete_rate=0.05,
+        out_of_order_rate=0.10,
+        hot_url_rate=0.01,
+        evolve_at_seq=n_events // 2,
+        chunk_rows=250_000,
+    )
+
+
+def run_replay_worker(cpus: int, ledger_path: str, pages_path: str) -> None:
+    """Subprocess entry: replay the full ledger at local[cpus], print JSON."""
+    import shutil
+
+    shutil.rmtree(pages_path, ignore_errors=True)
+    shutil.rmtree(pages_path + "_metrics", ignore_errors=True)
+    shutil.rmtree(pages_path + "_checkpoints", ignore_errors=True)
+
+    from data_warehouse_etl_spark.session import get_spark
+    from data_warehouse_etl_spark.cdc import CdcEngine, EngineConfig
+    from data_warehouse_etl_spark.lake import LakeTable, state_hash
+
+    spark = get_spark(
+        app_name=f"bench-replay-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    ledger = LakeTable.load(ledger_path)
+    n_events = sum(
+        f.get("stats", {}).get("max_seq", 0) - f.get("stats", {}).get("min_seq", 0) + 1
+        for f in ledger.manifest.files
+    )
+    # batch_size is a GLOBAL-seq window per part; since each global seq lands
+    # in exactly one part, events-per-batch ≈ batch_size. Target ~6 batches.
+    cfg = EngineConfig(
+        ledger_path=ledger_path,
+        pages_path=pages_path,
+        batch_size=max(n_events // 6, 20_000),
+        num_buckets=64,
+        files_per_bucket=1,
+        salt_k=16,
+        hot_threshold=None,  # always-two-phase salted reduce (engine default)
+    )
+    eng = CdcEngine(spark, cfg)
+    t0 = time.monotonic()
+    n_batches = eng.run()
+    wall = time.monotonic() - t0
+    pages = eng.read_pages()
+    h = state_hash(pages)
+    out = {
+        "cpus": cpus,
+        "events": n_events,
+        "batches": n_batches,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "live_rows": pages.count(),
+        "state_hash": str(h),
+    }
+    print("BENCH_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def _spawn_replay(cpus: int, ledger_path: str, pages_path: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), ledger_path, pages_path],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(
+        f"replay worker (cpus={cpus}) produced no result.\nstdout:\n{proc.stdout[-2000:]}"
+        f"\nstderr:\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    os.makedirs(os.path.join(REPO, ".bench"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+
+    # 1. deterministic bench ledger (cached across rounds; seeded)
+    from data_warehouse_etl_spark.cdc import generate_ledger
+
+    lp = bench_ledger_path(sf)
+    t0 = time.monotonic()
+    generate_ledger(lp, ledger_spec(sf))
+    gen_sec = time.monotonic() - t0
+
+    # 2. replay at P and 4P (fresh JVM each) — the two-cluster-size proxy
+    low = _spawn_replay(LOW_CPUS, lp, os.path.join(REPO, ".bench", f"pages_{LOW_CPUS}"))
+    high = _spawn_replay(CPUS, lp, os.path.join(REPO, ".bench", f"pages_{CPUS}"))
+    identical = low["state_hash"] == high["state_hash"]
+    efficiency = round((high["events_per_sec"] / low["events_per_sec"]) / (CPUS / LOW_CPUS), 3)
+
+    # 3. headline parity queries at full parallelism
+    from data_warehouse_etl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qtimes: dict[str, float] = {}
+    queries = entrymod.queries()
+    for name in HEADLINE:
+        t = time.monotonic()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t, 3)
+    spark.stop()
+
+    result = {
+        "metric": "cdc_replay_wall",
+        "value": high["wall_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "events": high["events"],
+        "events_per_sec": high["events_per_sec"],
+        "scaling": {
+            "low_cpus": LOW_CPUS,
+            "high_cpus": CPUS,
+            "low_events_per_sec": low["events_per_sec"],
+            "high_events_per_sec": high["events_per_sec"],
+            "efficiency": efficiency,
+            "state_identical": identical,
+        },
+    }
+    print(json.dumps(result))
+
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(
+            f"""# BENCH — CDC replay throughput + scaling (sandbox proxy for N vs 4N executors)
+
+Ledger: seeded synthetic Common-Crawl-style change feed (seed=42), sf={sf}:
+{high['events']:,} events, 32 feed partitions, 5% dups, 5% deletes, 10%
+out-of-order, 1% hot-url skew, schema evolution at the midpoint.
+Generation: {gen_sec:.1f}s (cached across runs).
+
+End-to-end replay = ledger read -> pandas-UDF HTML extract -> salted LWW
+dedup -> bucket-pruned merge -> atomic commit (checkpoints in-manifest).
+
+| parallelism | wall (s) | events/sec | batches | live rows | state hash |
+|---|---|---|---|---|---|
+| local[{LOW_CPUS}] | {low['wall_sec']} | {low['events_per_sec']:,} | {low['batches']} | {low['live_rows']:,} | {low['state_hash']} |
+| local[{CPUS}] | {high['wall_sec']} | {high['events_per_sec']:,} | {high['batches']} | {high['live_rows']:,} | {high['state_hash']} |
+
+**Scaling efficiency (T_{CPUS} / T_{LOW_CPUS}) / {CPUS // LOW_CPUS} = {efficiency}**
+(target >= 0.8 per BASELINE.json)
+
+**Byte-identical final state at both parallelism levels: {identical}**
+(order-insensitive xxhash64 content hash over all live rows)
+
+Headline query times at sf={sf} on local[{CPUS}] (sec):
+{json.dumps(qtimes, indent=2)}
+"""
+        )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        run_replay_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    else:
+        main()

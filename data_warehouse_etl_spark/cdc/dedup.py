@@ -51,21 +51,43 @@ def lww_dedup_salted(
     key: str = "url",
     order: tuple[str, ...] = ("warc_ts", "seq"),
     n_salts: int = 16,
-    hot_threshold: int = 100_000,
+    hot_threshold: int | None = None,
     salt_source: str = "seq",
 ) -> DataFrame:
-    """LWW dedup with explicit hot-key splitting.
+    """LWW dedup with explicit salted hot-key splitting.
 
-    1. count events per key (one extra pre-aggregated pass);
-    2. keys with count > ``hot_threshold`` are *hot* — their rows are salted
-       with ``pmod(xxhash64(salt_source), n_salts)`` and reduced per
-       (key, salt), spreading each hot key over ``n_salts`` reducers;
-    3. the per-salt winners (≤ n_salts rows per hot key) reduce again per key;
-    4. cold keys take the plain single-phase path; union of the two is exact.
+    Two modes:
 
-    The hot set is broadcast as a literal filter (bounded above by
-    |batch| / hot_threshold keys, so driver-safe by construction).
+    - ``hot_threshold=None`` (default, the engine's hot path): **always
+      two-phase**. Every row gets a salt from ``pmod(xxhash64(salt_source),
+      n_salts)``; phase 1 reduces per (key, salt) — a hot key spreads over
+      ``n_salts`` reducers — phase 2 reduces the ≤ n_salts survivors per key.
+      Because phase 1 already gets map-side partial aggregation, the extra
+      phase costs only a tiny second shuffle (≤ n_salts rows per distinct
+      key), and there is NO pre-counting pass or driver collect: one fewer
+      full scan per batch, and no plan dependency on the data.
+
+    - ``hot_threshold=k``: detect-and-split. One pre-aggregated counting
+      pass finds keys with > k events; only those take the salted two-phase
+      path, cold keys reduce single-phase. The hot set is broadcast as a
+      literal filter (bounded by |batch| / k keys, driver-safe). Useful when
+      the second shuffle is measurably wasteful on known-uniform feeds.
+
+    Both modes are exact: the reduce is associative+commutative with a total
+    order, so the result is identical at any parallelism and batch slicing.
     """
+    if hot_threshold is None:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")
+        )
+        cols = [c for c in salted.columns if c != "_salt"]
+        phase1 = (
+            salted.groupBy(key, "_salt")
+            .agg(F.max_by(F.struct(*cols), F.struct(*[F.col(c) for c in order])).alias("_r"))
+            .select("_r.*")
+        )
+        return _max_by_all(phase1, key, order)
+
     counts = df.groupBy(key).count().filter(F.col("count") > hot_threshold)
     hot_keys = [r[key] for r in counts.collect()]
     if not hot_keys:

@@ -60,11 +60,16 @@ BATCH_PROP = "last_batch_id"
 class EngineConfig:
     ledger_path: str
     pages_path: str
-    batch_size: int = 1_000_000  # events per feed partition per batch
+    # Width of the per-part seq window advanced each batch. seq is a GLOBAL
+    # monotone id (each seq value lands in exactly one part), so the total
+    # events per batch across all parts ≈ batch_size.
+    batch_size: int = 1_000_000
     num_buckets: int = 16
     files_per_bucket: int = 1
     salt_k: int = 16
-    hot_threshold: int = 100_000
+    # None → always-two-phase salted reduce (no pre-count pass; engine
+    # default); an int switches to detect-and-split above that count
+    hot_threshold: int | None = None
     watermark_delay_s: int | None = None  # drop events older than max(warc_ts)-delay
     lang_col_priority: bool = True  # trust feed lang; detect only when absent
     extra: dict = field(default_factory=dict)
@@ -118,6 +123,12 @@ class CdcEngine:
         """The user-facing view: live rows, internal columns hidden."""
         df = self.pages.read(spark or self.spark)
         return df.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
+    def refresh_pages(self) -> DataFrame:
+        """Re-resolve the table pointer, then read (for observers of a table
+        another handle — e.g. a streaming query — has been committing to)."""
+        self.pages = self.pages.refresh()
+        return self.read_pages()
 
     def _ledger_max_seq_per_part(self) -> dict[int, int]:
         rows = (
@@ -183,8 +194,53 @@ class CdcEngine:
                 events = events.filter(F.col("warc_ts") >= cutoff)
 
         # ---- per-part input stats (one pre-aggregated pass)
-        payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
-        instats = {
+        instats = self._input_stats(events)
+
+        # ---- transform + merge + atomic commit
+        new_cps = {**cps, **targets}
+        mstats = self._transform_and_merge(
+            events,
+            properties_update={
+                CHECKPOINTS_PROP: json.dumps({str(k): v for k, v in sorted(new_cps.items())}),
+                BATCH_PROP: str(batch_id),
+            },
+        )
+
+        # ---- observability (outside the transaction; deduped on read)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._emit_metrics(batch_id, sorted(targets), instats, mstats, wall_ms)
+        self.checkpoints.record(self.spark, batch_id, targets)
+        return True
+
+    # ------------------------------------------------ shared transform/merge
+
+    def apply_events(self, events: DataFrame, stream_batch_id: int | None = None) -> bool:
+        """Apply an arbitrary DataFrame of ledger-schema events (the
+        Structured Streaming ``foreachBatch`` entry point).
+
+        Exactly-once under micro-batch retry: when ``stream_batch_id`` is
+        given and ≤ the last committed one, the call is a no-op (Spark
+        re-delivers a failed micro-batch under the same id; the commit below
+        records it atomically with the data).
+        """
+        t0 = time.monotonic()
+        if stream_batch_id is not None:
+            last = int(self.pages.manifest.properties.get("last_stream_batch_id", "-1"))
+            if stream_batch_id <= last:
+                return False
+        self.pages = evolve.sync_schema(self.ledger, self.pages)
+        instats = self._input_stats(events)
+        props = {}
+        if stream_batch_id is not None:
+            props["last_stream_batch_id"] = str(stream_batch_id)
+        mstats = self._transform_and_merge(events, properties_update=props)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        label = stream_batch_id if stream_batch_id is not None else self.last_batch_id()
+        self._emit_metrics(label, sorted(instats), instats, mstats, wall_ms)
+        return True
+
+    def _input_stats(self, events: DataFrame) -> dict[int, dict]:
+        return {
             int(r["part"]): r
             for r in events.groupBy("part")
             .agg(
@@ -193,6 +249,12 @@ class CdcEngine:
             )
             .collect()
         }
+
+    def _transform_and_merge(
+        self, events: DataFrame, properties_update: dict[str, str]
+    ) -> dict:
+        cfg = self.cfg
+        payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
 
         # ---- LWW dedup (salted hot-url two-phase reduce)
         deduped = lww_dedup_salted(
@@ -217,7 +279,10 @@ class CdcEngine:
                 ),
             )
 
-        # ---- merge vs current state, pruned to affected buckets
+        # ---- merge vs current state, pruned to affected buckets.
+        # enriched is cached before the bucket-discovery action so the
+        # extract UDF and the dedup shuffle run exactly once per batch.
+        enriched = enriched.persist()
         bucket_of = self.pages.bucket_expr("url")
         affected = sorted(
             r["b"] for r in enriched.select(bucket_of.alias("b")).distinct().collect()
@@ -269,29 +334,31 @@ class CdcEngine:
                 .collect()
             }
 
-            # ---- atomic commit: data + offsets + batch id in one manifest swap
-            new_cps = {**cps, **targets}
+            # ---- atomic commit: data + offsets/ids in one manifest swap
             self.pages = self.pages.overwrite_buckets(
                 merged,
                 affected,
-                properties_update={
-                    CHECKPOINTS_PROP: json.dumps(
-                        {str(k): v for k, v in sorted(new_cps.items())}
-                    ),
-                    BATCH_PROP: str(batch_id),
-                },
+                properties_update=properties_update,
                 files_per_bucket=cfg.files_per_bucket,
             )
         finally:
             merged.unpersist()
+            enriched.unpersist()
+        return mstats
 
-        # ---- observability (outside the transaction; deduped on read)
-        wall_ms = int((time.monotonic() - t0) * 1000)
+    def _emit_metrics(
+        self,
+        batch_id: int,
+        parts: list[int],
+        instats: dict[int, dict],
+        mstats: dict,
+        wall_ms: int,
+    ) -> None:
         survivors_by_part: dict[int, int] = {}
         for (p, k), c in mstats.items():
             survivors_by_part[p] = survivors_by_part.get(p, 0) + c
         rows = []
-        for p in sorted(targets):
+        for p in parts:
             ev_in = int(instats.get(p, {"events_in": 0})["events_in"] or 0)
             by = int(instats.get(p, {"bytes_html": 0})["bytes_html"] or 0)
             rows.append(
@@ -311,5 +378,3 @@ class CdcEngine:
                 }
             )
         self.metrics.append(self.spark, rows)
-        self.checkpoints.record(self.spark, batch_id, targets)
-        return True

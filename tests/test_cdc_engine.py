@@ -164,6 +164,18 @@ def test_batch_size_invariance(spark, ledger, tmp_path):
     assert state_hash(a.read_pages()) == state_hash(b.read_pages())
 
 
+def test_dedup_mode_invariance(spark, ledger, tmp_path):
+    """Always-two-phase salted reduce (engine default) and detect-and-split
+    produce the identical final state."""
+    a = _mk_engine(spark, ledger, tmp_path / "twophase", batch_size=1500,
+                   hot_threshold=None)
+    a.run()
+    b = _mk_engine(spark, ledger, tmp_path / "detect", batch_size=1500,
+                   hot_threshold=20)
+    b.run()
+    assert state_hash(a.read_pages()) == state_hash(b.read_pages())
+
+
 def test_schema_evolution_replay(spark, tmp_path):
     led = generate_ledger(str(tmp_path / "changes"), SPEC_EVOLVE)
     eng = _mk_engine(spark, led, tmp_path, batch_size=500)
