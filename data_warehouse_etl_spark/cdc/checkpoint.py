@@ -42,7 +42,9 @@ class CheckpointsTable:
     def record(self, spark: SparkSession, batch_id: int, offsets: dict[int, int]) -> None:
         now = _dt.datetime.now(_dt.timezone.utc)
         rows = [(p, s, batch_id, now) for p, s in sorted(offsets.items())]
-        self.table = self.table.refresh().append(spark.createDataFrame(rows, _DDL))
+        self.table = self.table.refresh().append(
+            spark.createDataFrame(rows, _DDL).coalesce(1)
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.table.refresh().read(spark).dropDuplicates(["batch_id", "part"])

@@ -38,6 +38,7 @@ extractor on post-dedup survivors.
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -54,6 +55,22 @@ from .checkpoint import CheckpointsTable
 INTERNAL_COLS = ("_seq", "_deleted")
 CHECKPOINTS_PROP = "checkpoints"
 BATCH_PROP = "last_batch_id"
+
+_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1"
+
+
+class _Timer:
+    """Phase timer, printed only under SPARK_GRAFT_DEBUG_TIMING=1."""
+
+    def __init__(self, label: str):
+        self.label = label
+        self.t = time.monotonic()
+
+    def mark(self, phase: str) -> None:
+        now = time.monotonic()
+        if _TIMING:
+            print(f"TIMING {self.label} {phase}: {now - self.t:.2f}s", flush=True)
+        self.t = now
 
 
 @dataclass
@@ -193,8 +210,10 @@ class CdcEngine:
                 cutoff = F.lit(wm) - F.expr(f"INTERVAL {cfg.watermark_delay_s} SECONDS")
                 events = events.filter(F.col("warc_ts") >= cutoff)
 
+        tm = _Timer(f"batch{batch_id}")
         # ---- per-part input stats (one pre-aggregated pass)
         instats = self._input_stats(events)
+        tm.mark("instats")
 
         # ---- transform + merge + atomic commit
         new_cps = {**cps, **targets}
@@ -204,12 +223,14 @@ class CdcEngine:
                 CHECKPOINTS_PROP: json.dumps({str(k): v for k, v in sorted(new_cps.items())}),
                 BATCH_PROP: str(batch_id),
             },
+            timer=tm,
         )
 
         # ---- observability (outside the transaction; deduped on read)
         wall_ms = int((time.monotonic() - t0) * 1000)
         self._emit_metrics(batch_id, sorted(targets), instats, mstats, wall_ms)
         self.checkpoints.record(self.spark, batch_id, targets)
+        tm.mark("metrics+checkpoints")
         return True
 
     # ------------------------------------------------ shared transform/merge
@@ -251,9 +272,10 @@ class CdcEngine:
         }
 
     def _transform_and_merge(
-        self, events: DataFrame, properties_update: dict[str, str]
+        self, events: DataFrame, properties_update: dict[str, str], timer: _Timer | None = None
     ) -> dict:
         cfg = self.cfg
+        tm = timer or _Timer("apply")
         payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
 
         # ---- LWW dedup (salted hot-url two-phase reduce)
@@ -287,6 +309,7 @@ class CdcEngine:
         affected = sorted(
             r["b"] for r in enriched.select(bucket_of.alias("b")).distinct().collect()
         )
+        tm.mark("dedup+extract+buckets")
         old = self.pages.read(self.spark, buckets=affected)
 
         page_fields = [f.name for f in self.pages.manifest.current_fields]
@@ -333,6 +356,7 @@ class CdcEngine:
                 .agg(F.count("*").alias("cnt"))
                 .collect()
             }
+            tm.mark("merge+mstats")
 
             # ---- atomic commit: data + offsets/ids in one manifest swap
             self.pages = self.pages.overwrite_buckets(
@@ -341,6 +365,7 @@ class CdcEngine:
                 properties_update=properties_update,
                 files_per_bucket=cfg.files_per_bucket,
             )
+            tm.mark("commit_write")
         finally:
             merged.unpersist()
             enriched.unpersist()

@@ -47,7 +47,10 @@ class MetricsTable:
         if not rows:
             return
         ordered = [tuple(r[n] for n, _ in SCHEMA) for r in rows]
-        self.table = self.table.refresh().append(spark.createDataFrame(ordered, _DDL))
+        # tiny append → one task, one file (avoid defaultParallelism fan-out)
+        self.table = self.table.refresh().append(
+            spark.createDataFrame(ordered, _DDL).coalesce(1)
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Deduped view: one row per (batch_id, part)."""

@@ -221,6 +221,22 @@ def q_theta_join(spark, sf):
     )
 
 
+def q_right_join(spark, sf):
+    """J3: right outer join (RestaurantDetails_Marta_v11_06152015.sql:109;
+    QBR__RestPredictive_Benchmark Script.sql:193) — orders right-joined to
+    the full customer roster, order-less customers kept."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
 def q_first_event_attrs(spark, sf):
     """J9→W: argmin self-join replaced by window row_number()=1 (first-reso
     attrs via min-id self-join, FCT_USER_CALCS.sql:18-53) — the idiomatic
@@ -601,6 +617,63 @@ def q_entity_resolution(spark, sf):
     )
 
 
+def q_flag_backfill(spark, sf):
+    """M5: correlated UPDATE ... FROM flag backfill (payment flags from
+    derived temp tables, FCT_RESERVATION_UPD.sql:278-313) — recompute-as-
+    select: the fact gains a flag from an aggregate of its detail rows, the
+    idiomatic Spark replacement for in-place UPDATE."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("discounted_flg")
+    )
+    return (
+        o.join(agg, o.o_orderkey == agg.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("discounted_flg"), F.lit(0)).alias("discounted_flg"),
+        )
+        .groupBy("discounted_flg")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_dedup_repair(spark, sf):
+    """M6: dedup-by-delete repair — keys with multiplicity > 1 are dropped
+    entirely (FCT_RESERVATION_UPD.sql:98-115,158-165; DM_FULL_BOOK.sql:75-82):
+    window count per key, keep only singletons."""
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return (
+        o.withColumn("key_count", F.count("*").over(w))
+        .filter(F.col("key_count") == 1)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_clean_orders"))
+    )
+
+
+def q_rolling_window_reload(spark, sf):
+    """S2: rolling-window delete + re-insert (last-90/10-day reload,
+    SP_ATTRIBUTION_ET.sql:1-31; STG_SP_ATTRIBUTION_ET.sql:27,220-228) as a
+    query: rows outside the window carried, rows inside recomputed — in the
+    engine this is a date-partition overwrite."""
+    e = _t(spark, sf, "events")
+    window_lo = "2024-01-25 00:00:00"
+    outside = e.filter(F.col("ts") < window_lo).select(
+        "event_id", F.round("value", 4).alias("value"), F.lit("carried").alias("origin")
+    )
+    reloaded = (
+        e.filter(F.col("ts") >= window_lo)
+        .select("event_id", F.round(F.col("value") * 2, 4).alias("value"),
+                F.lit("reloaded").alias("origin"))
+    )
+    return (
+        outside.unionByName(reloaded)
+        .groupBy("origin")
+        .agg(F.count("*").alias("n_rows"), _dsum("value", "sum_value"))
+    )
+
+
 def q_sticky_carry_forward(spark, sf):
     """M3: sticky-attribute carry-forward through upsert (TESTBUCKET copy
     from old master, deterministic default for new rows,
@@ -636,6 +709,7 @@ PARITY_QUERIES = {
     "j4_anti_join": q_anti_join,
     "j5_semi_join": q_semi_join,
     "j6_range_join": q_range_join,
+    "j3_right_join": q_right_join,
     "j8_theta_join": q_theta_join,
     "j9_first_event_attrs": q_first_event_attrs,
     "j12_yoy_self_join": q_yoy_self_join,
@@ -654,9 +728,12 @@ PARITY_QUERIES = {
     "t1_union_multisource": q_union_multisource,
     "t2_union_dedup": q_union_dedup,
     "t3_except_recon": q_except_recon,
+    "s2_rolling_window_reload": q_rolling_window_reload,
     "m1_snapshot_diff_nullsafe": q_snapshot_diff_nullsafe,
     "m2_cdc_lww_replay": q_cdc_lww_replay,
     "m3_sticky_carry_forward": q_sticky_carry_forward,
+    "m5_flag_backfill": q_flag_backfill,
+    "m6_dedup_repair": q_dedup_repair,
     "m4_scd2_versions": q_scd2_versions,
     "m10_entity_resolution": q_entity_resolution,
 }
@@ -755,6 +832,39 @@ PARITY_ORACLE = {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                         ORDER BY ts ASC, event_id ASC) AS rn FROM events)
         WHERE rn = 1
+    """,
+    "j3_right_join": """
+        SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders,
+               COUNT(DISTINCT c_custkey) AS n_customers
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "s2_rolling_window_reload": """
+        WITH u AS (
+            SELECT event_id, ROUND(value, 4) AS value, 'carried' AS origin
+            FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+            UNION ALL
+            SELECT event_id, ROUND(value * 2, 4) AS value, 'reloaded' AS origin
+            FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00')
+        SELECT origin, COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+        FROM u GROUP BY 1
+    """,
+    "m5_flag_backfill": """
+        WITH agg AS (
+            SELECT l_orderkey,
+                   MAX(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS discounted_flg
+            FROM lineitem GROUP BY 1)
+        SELECT COALESCE(discounted_flg, 0) AS discounted_flg, COUNT(*) AS n_orders
+        FROM orders LEFT JOIN agg ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """,
+    "m6_dedup_repair": """
+        SELECT o_orderstatus, COUNT(*) AS n_clean_orders
+        FROM (SELECT *, COUNT(*) OVER (PARTITION BY o_custkey,
+                    strftime(o_orderdate, '%Y-%m-%d')) AS key_count FROM orders)
+        WHERE key_count = 1
+        GROUP BY 1
     """,
     "j12_yoy_self_join": """
         WITH m AS (

@@ -1,0 +1,98 @@
+"""Plan-quality audit: print formatted physical plans for the hot paths and
+grep them for the properties that matter at 100 TB.
+
+Checks (per the scale rules the engine is designed around):
+- parquet scans show PushedFilters + pruned ReadSchema (no full-width reads);
+- small dims join as BroadcastHashJoin;
+- the LWW dedup is HashAggregate (map-side combinable), never Window;
+- WholeStageCodegen spans cover the relational operators;
+- no CartesianProduct / BroadcastNestedLoopJoin outside the intended
+  cross-join-with-one-row-query cases.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, df, want: list[str] = (), forbid: list[str] = ()) -> bool:
+    plan = plan_of(df)
+    problems = [f"missing: {w}" for w in want if w not in plan]
+    problems += [f"forbidden: {f}" for f in forbid if f in plan]
+    status = "OK " if not problems else "BAD"
+    print(f"{status} {name}" + (f"  [{'; '.join(problems)}]" if problems else ""))
+    if problems:
+        print(plan)
+    return not problems
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from data_warehouse_etl_spark.session import get_spark
+    from data_warehouse_etl_spark.operators import PARITY_QUERIES
+
+    spark = get_spark(app_name="explain")
+    ok = True
+
+    # S1: filter + projection pushed to the parquet scan
+    q = PARITY_QUERIES["s1_pruned_scan"](spark, sf)
+    ok &= audit("s1 pushdown+pruning", q,
+                want=["PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)"],
+                forbid=["Exchange"])
+    plan = plan_of(q)
+    if "l_extendedprice" in plan:
+        ok = False
+        print("BAD s1: ReadSchema not pruned (reads l_extendedprice)")
+
+    # J2: dim joins broadcast, no shuffle of the big side for the dims
+    ok &= audit("j2 broadcast dims", PARITY_QUERIES["j2_left_enrich"](spark, sf),
+                want=["BroadcastHashJoin"], forbid=["CartesianProduct"])
+
+    # A1: partial aggregation present (map-side combine). (AQE formatted
+    # plans don't annotate codegen ids pre-execution, so grep partial_ fns.)
+    ok &= audit("a1 partial agg", PARITY_QUERIES["a1_groupby_agg"](spark, sf),
+                want=["HashAggregate", "partial_sum"])
+
+    # W2 rank path is window (by design for the query), but the ENGINE dedup
+    # must be aggregation:
+    from data_warehouse_etl_spark.cdc.dedup import lww_dedup_salted
+    from pyspark.sql import functions as F
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            F.col("event_id").alias("seq"),
+            F.col("user_id").cast("string").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            "value",
+        )
+    )
+    # max_by(struct, struct) aggregates with a variable-width buffer, so Spark
+    # plans SortAggregate — still map-side combining (partial_max_by), which
+    # is the property that matters for skew; Window is the anti-pattern.
+    ok &= audit("engine lww = agg not window", lww_dedup_salted(ev),
+                want=["partial_max_by"], forbid=["Window"])
+
+    # J6 range join: equi key drives the join (no BNLJ)
+    ok &= audit("j6 equi-driven range join", PARITY_QUERIES["j6_range_join"](spark, sf),
+                forbid=["BroadcastNestedLoopJoin", "CartesianProduct"])
+
+    print("\nPLAN AUDIT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
