@@ -40,8 +40,21 @@ class CheckpointsTable:
         return CheckpointsTable(LakeTable.create(path, SCHEMA, bucket_col=None))
 
     def record(self, spark: SparkSession, batch_id: int, offsets: dict[int, int]) -> None:
+        self.record_many(spark, [(batch_id, offsets)])
+
+    def record_many(
+        self, spark: SparkSession, entries: list[tuple[int, dict[int, int]]]
+    ) -> None:
+        """One append for many batches' offsets (the engine buffers mirror
+        writes and flushes periodically — see EngineConfig.mirror_flush_batches)."""
+        if not entries:
+            return
         now = _dt.datetime.now(_dt.timezone.utc)
-        rows = [(p, s, batch_id, now) for p, s in sorted(offsets.items())]
+        rows = [
+            (p, s, batch_id, now)
+            for batch_id, offsets in entries
+            for p, s in sorted(offsets.items())
+        ]
         self.table = self.table.refresh().append(
             spark.createDataFrame(rows, _DDL).coalesce(1)
         )

@@ -89,6 +89,12 @@ class EngineConfig:
     hot_threshold: int | None = None
     watermark_delay_s: int | None = None  # drop events older than max(warc_ts)-delay
     lang_col_priority: bool = True  # trust feed lang; detect only when absent
+    # flush the observational metrics/checkpoints mirror tables every N
+    # batches (and at end of run). The authoritative offsets are inside the
+    # data commit; the mirrors are lineage queries, so batching their writes
+    # trades at most N batches of mirror rows on crash for ~4 fewer Spark
+    # jobs per batch (each job is a straggler-exposed barrier).
+    mirror_flush_batches: int = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -103,6 +109,8 @@ class CdcEngine:
             self.pages = self._create_pages()
         self.metrics = MetricsTable.open(cfg.pages_path + "_metrics")
         self.checkpoints = CheckpointsTable.open(cfg.pages_path + "_checkpoints")
+        self._pending_metrics: list[dict] = []
+        self._pending_checkpoints: list[tuple[int, dict[int, int]]] = []
 
     # ------------------------------------------------------------------ setup
 
@@ -163,11 +171,23 @@ class CdcEngine:
         number of batches applied in this call."""
         max_seq = self._ledger_max_seq_per_part()
         applied = 0
-        while max_batches is None or applied < max_batches:
-            if not self.run_one_batch(max_seq):
-                break
-            applied += 1
+        try:
+            while max_batches is None or applied < max_batches:
+                if not self.run_one_batch(max_seq):
+                    break
+                applied += 1
+        finally:
+            self.flush_mirrors()
         return applied
+
+    def flush_mirrors(self) -> None:
+        """Write buffered lineage rows to the mirror tables."""
+        if self._pending_metrics:
+            self.metrics.append(self.spark, self._pending_metrics)
+            self._pending_metrics = []
+        if self._pending_checkpoints:
+            self.checkpoints.record_many(self.spark, self._pending_checkpoints)
+            self._pending_checkpoints = []
 
     def run_one_batch(self, max_seq: dict[int, int] | None = None) -> bool:
         cfg = self.cfg
@@ -226,10 +246,14 @@ class CdcEngine:
             timer=tm,
         )
 
-        # ---- observability (outside the transaction; deduped on read)
+        # ---- observability (buffered; authoritative offsets are in the commit)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self._emit_metrics(batch_id, sorted(targets), instats, mstats, wall_ms)
-        self.checkpoints.record(self.spark, batch_id, targets)
+        self._pending_metrics.extend(
+            self._metric_rows(batch_id, sorted(targets), instats, mstats, wall_ms)
+        )
+        self._pending_checkpoints.append((batch_id, targets))
+        if len(self._pending_checkpoints) >= self.cfg.mirror_flush_batches:
+            self.flush_mirrors()
         tm.mark("metrics+checkpoints")
         return True
 
@@ -257,7 +281,9 @@ class CdcEngine:
         mstats = self._transform_and_merge(events, properties_update=props)
         wall_ms = int((time.monotonic() - t0) * 1000)
         label = stream_batch_id if stream_batch_id is not None else self.last_batch_id()
-        self._emit_metrics(label, sorted(instats), instats, mstats, wall_ms)
+        self.metrics.append(
+            self.spark, self._metric_rows(label, sorted(instats), instats, mstats, wall_ms)
+        )
         return True
 
     def _input_stats(self, events: DataFrame) -> dict[int, dict]:
@@ -371,14 +397,14 @@ class CdcEngine:
             enriched.unpersist()
         return mstats
 
-    def _emit_metrics(
+    def _metric_rows(
         self,
         batch_id: int,
         parts: list[int],
         instats: dict[int, dict],
         mstats: dict,
         wall_ms: int,
-    ) -> None:
+    ) -> list[dict]:
         survivors_by_part: dict[int, int] = {}
         for (p, k), c in mstats.items():
             survivors_by_part[p] = survivors_by_part.get(p, 0) + c
@@ -402,4 +428,4 @@ class CdcEngine:
                     "events_per_sec": (ev_in / (wall_ms / 1000.0)) if wall_ms else 0.0,
                 }
             )
-        self.metrics.append(self.spark, rows)
+        return rows
