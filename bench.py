@@ -137,7 +137,8 @@ def run_replay_worker(
         num_buckets=16,
         files_per_bucket=1,
         salt_k=16,
-        hot_threshold=None,  # always-two-phase salted reduce (engine default)
+        # detect-and-split skew mode (engine default): explicit hot-url
+        # salting engages only above hot_threshold events per key per batch
     )
     eng = CdcEngine(spark, cfg)
     t0 = time.monotonic()

@@ -1,6 +1,6 @@
 from .extract import extract_text_bytes, extract_text_udf, detect_lang_str, detect_lang_udf
 from .gen import generate_ledger, LedgerSpec
-from .dedup import lww_dedup, lww_dedup_salted
+from .dedup import lww_dedup, lww_dedup_salted, lww_dedup_auto
 from .engine import CdcEngine, EngineConfig
 
 __all__ = [
@@ -12,6 +12,7 @@ __all__ = [
     "LedgerSpec",
     "lww_dedup",
     "lww_dedup_salted",
+    "lww_dedup_auto",
     "CdcEngine",
     "EngineConfig",
 ]

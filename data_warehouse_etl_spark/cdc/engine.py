@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..lake import LakeTable
 from . import evolve
-from .dedup import lww_dedup_salted
+from .dedup import lww_dedup_auto
 from .extract import detect_lang_udf, extract_text_udf
 from .metrics import MetricsTable
 from .checkpoint import CheckpointsTable
@@ -84,9 +84,11 @@ class EngineConfig:
     num_buckets: int = 16
     files_per_bucket: int = 1
     salt_k: int = 16
-    # None → always-two-phase salted reduce (no pre-count pass; engine
-    # default); an int switches to detect-and-split above that count
-    hot_threshold: int | None = None
+    # skew handling for the LWW reduce (see cdc/dedup.py lww_dedup_auto):
+    # "detect" (default) = explicit hot-url splitting above hot_threshold,
+    # "salted" = always two-phase, "plain" = single-phase max_by agg
+    skew_mode: str = "detect"
+    hot_threshold: int = 1_000_000
     watermark_delay_s: int | None = None  # drop events older than max(warc_ts)-delay
     lang_col_priority: bool = True  # trust feed lang; detect only when absent
     # flush the observational metrics/checkpoints mirror tables every N
@@ -304,11 +306,12 @@ class CdcEngine:
         tm = timer or _Timer("apply")
         payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
 
-        # ---- LWW dedup (salted hot-url two-phase reduce)
-        deduped = lww_dedup_salted(
+        # ---- LWW dedup (skew-aware reduce, see cfg.skew_mode)
+        deduped = lww_dedup_auto(
             events,
             key="url",
             order=("warc_ts", "seq"),
+            mode=cfg.skew_mode,
             n_salts=cfg.salt_k,
             hot_threshold=cfg.hot_threshold,
         )

@@ -72,6 +72,7 @@ def _mk_engine(spark, ledger, tmp, batch_size=500, **kw):
         batch_size=batch_size,
         num_buckets=4,
         salt_k=4,
+        skew_mode=kw.pop("skew_mode", "detect"),
         hot_threshold=kw.pop("hot_threshold", 50),
         **kw,
     )
@@ -165,15 +166,15 @@ def test_batch_size_invariance(spark, ledger, tmp_path):
 
 
 def test_dedup_mode_invariance(spark, ledger, tmp_path):
-    """Always-two-phase salted reduce (engine default) and detect-and-split
-    produce the identical final state."""
-    a = _mk_engine(spark, ledger, tmp_path / "twophase", batch_size=1500,
-                   hot_threshold=None)
-    a.run()
-    b = _mk_engine(spark, ledger, tmp_path / "detect", batch_size=1500,
-                   hot_threshold=20)
-    b.run()
-    assert state_hash(a.read_pages()) == state_hash(b.read_pages())
+    """plain / always-salted / detect-and-split skew modes all produce the
+    identical final state."""
+    hashes = set()
+    for mode, thr in (("plain", 50), ("salted", 50), ("detect", 20)):
+        e = _mk_engine(spark, ledger, tmp_path / mode, batch_size=1500,
+                       skew_mode=mode, hot_threshold=thr)
+        e.run()
+        hashes.add(state_hash(e.read_pages()))
+    assert len(hashes) == 1
 
 
 def test_schema_evolution_replay(spark, tmp_path):
