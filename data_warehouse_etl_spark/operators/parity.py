@@ -254,6 +254,37 @@ def q_first_event_attrs(spark, sf):
     )
 
 
+def q_asof_attribution(spark, sf):
+    """J7: as-of / event-window attribution join (reservation within
+    [click_ts, horizon), STG_SP_ATTRIBUTION_ET.sql:250-255,313-316 with the
+    rank()=1 winner at :305) — each purchase attributed to the latest click
+    by the same user within the preceding day; range join on the equi user
+    key, then total-ordered rank picks the winner."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id"), "value"
+    )
+    cond = (
+        (buys.user_id == clicks.c_user)
+        & (clicks.click_ts <= buys.p_ts)
+        & (clicks.click_ts >= buys.p_ts - F.expr("INTERVAL 1 DAY"))
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        buys.join(clicks, cond, "inner")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "click_id", F.round("value", 4).alias("value"))
+    )
+
+
 def q_yoy_self_join(spark, sf):
     """J12: year-over-year self-join of aggregates (PrevYr.Yr = CurYr.Yr-1,
     FCT_RESTAURNT_WEEK_PROCESS.sql:466-469) — month-over-month here (testdata
@@ -711,6 +742,7 @@ PARITY_QUERIES = {
     "j6_range_join": q_range_join,
     "j3_right_join": q_right_join,
     "j8_theta_join": q_theta_join,
+    "j7_asof_attribution": q_asof_attribution,
     "j9_first_event_attrs": q_first_event_attrs,
     "j12_yoy_self_join": q_yoy_self_join,
     "a1_groupby_agg": q_groupby_agg,
@@ -825,6 +857,20 @@ PARITY_ORACLE = {
         FROM customer JOIN nation
           ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
         GROUP BY 1
+    """,
+    "j7_asof_attribution": """
+        WITH clicks AS (
+            SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+            FROM events WHERE event_type = 'click'),
+        buys AS (
+            SELECT user_id, ts AS p_ts, event_id AS purchase_id, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT purchase_id, user_id, click_id, ROUND(value, 4) AS value
+        FROM buys JOIN clicks
+          ON user_id = c_user
+         AND click_ts <= p_ts AND click_ts >= p_ts - INTERVAL 1 DAY
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY purchase_id
+                ORDER BY click_ts DESC, click_id DESC) = 1
     """,
     "j9_first_event_attrs": """
         SELECT user_id, event_type AS first_event_type,
