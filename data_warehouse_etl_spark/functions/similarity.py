@@ -75,21 +75,49 @@ def q_knn_bruteforce(spark, sf):
     return _run(spark, sf, _knn_sql("embeddings_v", _cos_spark))
 
 
-def _knn_ivf_sql(emb: str, cos) -> str:
-    # IVF: centroids = per-label mean vector; probe the 2 closest cells.
-    # Spark and DuckDB share the SQL shape; element-wise mean differs by
-    # dialect so it's passed in via {centroid}.
+def _centroids_spark(emb: str) -> str:
+    # per-label centroid: posexplode -> avg per (label, pos) -> re-assemble
+    # ordered by pos. AVG components are ROUNDed to 6 places so the float64
+    # array is identical across engines and partition orders.
     return f"""
-    WITH q AS (SELECT embedding AS qv, label AS qlabel FROM {emb}
-               WHERE vec_id = {_QUERY_VEC_ID}),
+    comp AS (
+        SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS m
+        FROM {emb} LATERAL VIEW posexplode(embedding) t AS pos, v
+        GROUP BY label, pos),
+    centroids AS (
+        SELECT label,
+               transform(array_sort(collect_list(struct(pos, m))), s -> s.m) AS cv
+        FROM comp GROUP BY label)
+    """
+
+
+def _centroids_duck(emb: str) -> str:
+    # parallel unnests zip positionally in DuckDB
+    return f"""
+    comp AS (
+        SELECT label, pos, ROUND(AVG(v), 6) AS m
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM {emb})
+        GROUP BY label, pos),
+    centroids AS (
+        SELECT label, list(m ORDER BY pos) AS cv FROM comp GROUP BY label)
+    """
+
+
+def _knn_ivf_sql(emb: str, cos, centroids_cte: str) -> str:
+    # IVF: probe the centroid table (one row per cell), then search only the
+    # 2 closest cells. The probe pass reads |cells| rows, not the corpus;
+    # with `label` in the partition spec the second pass is a
+    # partition-pruned scan of the probed buckets only. At 100 TB the
+    # centroids CTE is a small precomputed/maintained table — built inline
+    # here so the query is self-contained and oracle-checkable.
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM {emb} WHERE vec_id = {_QUERY_VEC_ID}),
+    {centroids_cte.strip()},
     probed AS (
-        SELECT label FROM (
-            SELECT e.label, ROUND({cos("e.embedding", "q.qv")}, 6) AS c,
-                   ROW_NUMBER() OVER (ORDER BY {cos("e.embedding", "q.qv")} DESC,
-                                      e.vec_id ASC) AS rn
-            FROM {emb} e CROSS JOIN q)
-        WHERE rn <= 50
-        GROUP BY label ORDER BY COUNT(*) DESC, label ASC LIMIT 2)
+        SELECT c.label FROM centroids c CROSS JOIN q
+        ORDER BY {cos("c.cv", "q.qv")} DESC, c.label ASC LIMIT 2)
     SELECT e.vec_id, e.label, ROUND({cos("e.embedding", "q.qv")}, 6) AS cosine
     FROM {emb} e CROSS JOIN q
     WHERE e.label IN (SELECT label FROM probed) AND e.vec_id <> {_QUERY_VEC_ID}
@@ -99,11 +127,22 @@ def _knn_ivf_sql(emb: str, cos) -> str:
 
 
 def q_knn_ivf_probed(spark, sf):
-    """IVF-style ANN: vote the 2 most promising label-cells from a coarse
-    top-50 scan, then search only those cells. At scale the first pass runs
-    on a sampled/centroid table and the second is a partition-pruned read of
-    the probed buckets only."""
-    return _run(spark, sf, _knn_ivf_sql("embeddings_v", _cos_spark))
+    """IVF-style ANN with a real centroid relation: per-label mean vectors
+    (25 rows) are the probe set; the query ranks centroids against the probe
+    vector, keeps the 2 closest cells, and scans only those cells for the
+    final top-10. Cell assignment = `label` mirrors an IVF coarse quantizer;
+    at scale `centroids` is precomputed and the cell scan is
+    partition-pruned (label in the partition spec)."""
+    return _run(
+        spark, sf, _knn_ivf_sql("embeddings_v", _cos_spark, _centroids_spark("embeddings_v"))
+    )
+
+
+# The synthetic corpus has no true duplicates (max same-label cosine ≈ 0.47
+# at sf0.01), so the demonstrative threshold is 0.40 — high enough to be a
+# sharp cut, low enough that the query returns real pairs at every SF
+# (5 at sf0.01, 86 at sf0.1). Production near-dup would use ~0.95+.
+_NEARDUP_THRESHOLD = 0.40
 
 
 def _neardup_sql(emb: str, cos) -> str:
@@ -112,13 +151,13 @@ def _neardup_sql(emb: str, cos) -> str:
            ROUND({cos("a.embedding", "b.embedding")}, 6) AS cosine
     FROM {emb} a JOIN {emb} b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {cos("a.embedding", "b.embedding")} >= 0.99
+    WHERE {cos("a.embedding", "b.embedding")} >= {_NEARDUP_THRESHOLD}
     """
 
 
 def q_embedding_neardup(spark, sf):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.99), self-join keyed on the
-    label bucket — the pair candidate set is per-bucket, never corpus²."""
+    """Embedding-cosine near-dup pairs (cos ≥ threshold), self-join keyed on
+    the label bucket — the pair candidate set is per-bucket, never corpus²."""
     return _run(spark, sf, _neardup_sql("embeddings_v", _cos_spark))
 
 
@@ -130,6 +169,8 @@ SIM_QUERIES = {
 
 SIM_ORACLE = {
     "v1_knn_bruteforce": _knn_sql("embeddings", _cos_duck),
-    "v2_knn_ivf_probed": _knn_ivf_sql("embeddings", _cos_duck),
+    "v2_knn_ivf_probed": _knn_ivf_sql(
+        "embeddings", _cos_duck, _centroids_duck("embeddings")
+    ),
     "v3_embedding_neardup": _neardup_sql("embeddings", _cos_duck),
 }

@@ -261,8 +261,8 @@ _TOKCOUNT_SPARK = """
 _TOKCOUNT_DUCK = """
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
-           SUM(len(list_distinct(string_split(text, ' ')))) AS sum_distinct_tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens
     FROM documents GROUP BY source
 """
 

@@ -73,20 +73,6 @@ def q_blacklist_like(spark, sf):
     )
 
 
-def q_regex_validate(spark, sf):
-    """P7: regex validation filter (userid digit check,
-    STG_SP_ATTRIBUTION_ET.sql:9,45,92,151) — extract the numeric k from the
-    JSON-ish props and keep only 2-digit values."""
-    e = _t(spark, sf, "events")
-    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
-    return (
-        e.withColumn("k", k)
-        .filter(F.col("k").rlike(r"^\d{2}$"))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_valid"))
-    )
-
-
 def q_date_window(spark, sf):
     """P8: date-range watermark-window predicate (between current_date-7 and
     current_date-1, RestaurantDetails_Marta_v11_06152015.sql:121-144) —
@@ -117,16 +103,112 @@ def q_composite_in(spark, sf):
 
 
 def q_json_flatten(spark, sf):
-    """S9: JSON → tabular flattening (dotted-key counts.json → report,
-    Photos/makeit.rb:9-25) via get_json_object."""
+    """S9+P7: JSON → tabular flattening (dotted-key counts.json → report,
+    Photos/makeit.rb:9-25) via get_json_object, plus regex validation of the
+    extracted field (userid digit check, STG_SP_ATTRIBUTION_ET.sql:9,45,92,151)
+    — count how many extracted values pass a 2-digit rlike check."""
     e = _t(spark, sf, "events")
+    k_re = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .withColumn("k_str", k_re)
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n"),
             _dsum_expr(F.col("k"), "sum_k", 0),
+            F.sum(
+                F.when(F.col("k_str").rlike(r"^\d{2}$"), 1).otherwise(0)
+            ).alias("n_valid_2digit"),
         )
+    )
+
+
+def q_tz_interval_calendar(spark, sf):
+    """F1 (§2.8 time functions + J11 date-dimension join): the reference's
+    most-used scalar patterns in one query —
+    - timezone conversion ``convert_tz(ts,'GMT',r.time_zone)``
+      (FCT_RESERVATION_UPD.sql:11, STG_SP_ATTRIBUTION_ET.sql:35-36) as
+      ``from_utc_timestamp`` with a per-row zone;
+    - interval arithmetic ``+ interval '1MIN' * servergmtoffsetmi``
+      (FCT_RESERVATION_UPD.sql:300) and ``cast('6 month' as interval)``
+      (RestaurantDetails_Marta_v11_06152015.sql:114);
+    - 30-minute slot rounding (FCT_ERBRESERVATION.sql:53-68);
+    - join to a generated date dimension (J11; DM_DATE usage,
+      Monthly Stats - Agg Scripts.sql:22) built with sequence+explode and
+      broadcast (a date dim is always broadcast-able).
+    January 2024 only, so no DST transition ambiguity across engines."""
+    e = _t(spark, sf, "events")
+    tz = (
+        F.when(F.col("user_id") % 3 == 0, "America/New_York")
+        .when(F.col("user_id") % 3 == 1, "Europe/London")
+        .otherwise("Asia/Tokyo")
+    )
+    cal = spark.sql(
+        "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-03-31')) AS cal_day"
+    ).select("cal_day", F.dayofweek("cal_day").alias("dow"))
+    enriched = (
+        e.withColumn("tz", tz)
+        .withColumn("local_day", F.to_date(F.from_utc_timestamp("ts", F.col("tz"))))
+        .withColumn(
+            "shifted", F.expr("ts + INTERVAL '1' MINUTE * CAST(user_id % 120 AS BIGINT)")
+        )
+        .withColumn(
+            "slot30",
+            F.expr(
+                "date_trunc('hour', ts)"
+                " + INTERVAL '30' MINUTE * CAST(floor(minute(ts) / 30) AS BIGINT)"
+            ),
+        )
+        .withColumn("plus6mo", F.expr("ts + INTERVAL '6' MONTH"))
+    )
+    return (
+        enriched.join(F.broadcast(cal), F.col("local_day") == F.col("cal_day"))
+        .groupBy(
+            "tz",
+            F.date_format("local_day", "yyyy-MM-dd").alias("local_day"),
+            "dow",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("slot30"), "yyyy-MM-dd HH:mm:ss").alias("first_slot"),
+            F.date_format(F.max("shifted"), "yyyy-MM-dd HH:mm:ss").alias("last_shifted"),
+            F.date_format(F.max("plus6mo"), "yyyy-MM-dd HH:mm:ss").alias("max_plus_6mo"),
+        )
+    )
+
+
+def q_string_parse_flags(spark, sf):
+    """F2 (§2.8 string functions + bitwise flags + O1/O2): composite-id
+    parsing and flag math —
+    - ``substring``+``instr`` key split (FCT_RESERVATION_UPD.sql:24-26);
+    - ``reverse``+``instr`` suffix strip (SILVERPOP_USER_INCREMENTAL.sql:415-424);
+    - ``translate`` digit masking (STG_SP_ATTRIBUTION_ET.sql:9);
+    - ``lpad`` zero-padding (Monthly Stats - Agg Scripts.sql:22);
+    - bitwise OR across flag columns (FCT_USER_CALCS.sql:158);
+    - deterministic ORDER BY + LIMIT export cut (O1/O2; unique sort key so
+      the LIMIT is total-ordered)."""
+    p = _t(spark, sf, "part")
+    id_digits = F.expr("substring(p_brand, instr(p_brand, '#') + 1)")
+    name_prefix = F.expr(
+        "substring(p_name, 1, length(p_name) - instr(reverse(p_name), ' '))"
+    )
+    flags = F.expr(
+        "(CASE WHEN p_size > 20 THEN 1 ELSE 0 END)"
+        " | (CASE WHEN p_type = 'ECONOMY' THEN 2 ELSE 0 END)"
+        " | (CASE WHEN p_partkey % 2 = 0 THEN 4 ELSE 0 END)"
+    )
+    return (
+        p.select(
+            "p_partkey",
+            id_digits.alias("brand_digits"),
+            id_digits.cast("bigint").alias("brand_num"),
+            F.lpad(F.col("p_partkey").cast("string"), 12, "0").alias("padded_key"),
+            F.translate("p_brand", "0123456789", "##########").alias("brand_masked"),
+            name_prefix.alias("name_prefix"),
+            flags.alias("flags"),
+        )
+        .orderBy(F.col("p_partkey").asc())
+        .limit(100)
     )
 
 
@@ -164,27 +246,28 @@ def q_left_enrich(spark, sf):
     )
 
 
-def q_anti_join(spark, sf):
-    """J4: anti join for new-row detection (LEFT JOIN ... IS NULL idiom,
+def q_semi_anti_join(spark, sf):
+    """J4+J5: semi join via IN (FCT_RESERVATION_UPD.sql:112,115) and anti
+    join for new-row detection (LEFT JOIN ... IS NULL idiom,
     SILVERPOP_USER_INCREMENTAL.sql:129-133; idempotent-insert guard
-    FCT_ERBRESERVATION.sql:229-231)."""
+    FCT_ERBRESERVATION.sql:229-231) over the same probe set: customers
+    with / without 'F'-status orders, per segment (both sides non-empty)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    fo = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    semi = (
+        c.join(fo, c.c_custkey == fo.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers_without_orders"))
+        .agg(F.count("*").alias("n_with_f"))
     )
-
-
-def q_semi_join(spark, sf):
-    """J5: semi join via IN (FCT_RESERVATION_UPD.sql:112,115)."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = (
+        c.join(fo, c.c_custkey == fo.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers_with_f_orders"))
+        .agg(F.count("*").alias("n_without_f"))
+    )
+    return semi.join(anti, "c_mktsegment", "full").select(
+        "c_mktsegment",
+        F.coalesce(F.col("n_with_f"), F.lit(0).cast("bigint")).alias("n_with_f"),
+        F.coalesce(F.col("n_without_f"), F.lit(0).cast("bigint")).alias("n_without_f"),
     )
 
 
@@ -503,27 +586,24 @@ def q_global_surrogate_ids(spark, sf):
 # --------------------------------------------------------------------------
 
 
-def q_union_multisource(spark, sf):
-    """S6/T1: multi-source UNION ALL with per-source constants (ERB+GC
-    tagging, FCT_ERBRESERVATION.sql:52,134; 3-region recon
-    mayrecon_process.sql:1-122)."""
-    o = _t(spark, sf, "orders")
-    srcs = [
-        o.filter(F.col("o_orderstatus") == s).withColumn("src", F.lit(f"region_{s}"))
-        for s in ("F", "O", "P")
-    ]
-    u = srcs[0].unionByName(srcs[1]).unionByName(srcs[2])
-    return u.groupBy("src").agg(
-        F.count("*").alias("n_orders"), _dsum("o_totalprice", "revenue")
+def q_union_dedup_multisource(spark, sf):
+    """S6/T1+T2: multi-source UNION ALL with per-source tag constants
+    (ERB+GC tagging, FCT_ERBRESERVATION.sql:52,134; 3-region recon
+    mayrecon_process.sql:1-122) followed by UNION-dedup
+    (FCT_RESTAURNT_WEEK_PROCESS.sql:40, DM_FULL_BOOK.sql:68,92): distinct
+    (source, nationkey) pairs across three tagged feeds."""
+
+    def tagged(table, col, tag):
+        return _t(spark, sf, table).select(
+            F.lit(tag).alias("src"), F.col(col).cast("bigint").alias("nationkey")
+        )
+
+    u = (
+        tagged("customer", "c_nationkey", "customer")
+        .unionByName(tagged("supplier", "s_nationkey", "supplier"))
+        .unionByName(tagged("nation", "n_nationkey", "nation"))
     )
-
-
-def q_union_dedup(spark, sf):
-    """T2: UNION (dedup) (FCT_RESTAURNT_WEEK_PROCESS.sql:40,
-    DM_FULL_BOOK.sql:68,92)."""
-    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
+    return u.distinct()
 
 
 def q_except_recon(spark, sf):
@@ -731,14 +811,14 @@ PARITY_QUERIES = {
     "s1_pruned_scan": q_pruned_scan,
     "p2_case_recode": q_case_recode,
     "p5_blacklist_like": q_blacklist_like,
-    "p7_regex_validate": q_regex_validate,
     "p8_date_window": q_date_window,
     "p9_composite_in": q_composite_in,
     "s9_json_flatten": q_json_flatten,
+    "f1_tz_interval_calendar": q_tz_interval_calendar,
+    "f2_string_parse_flags": q_string_parse_flags,
     "j1_join_multikey": q_join_multikey,
     "j2_left_enrich": q_left_enrich,
-    "j4_anti_join": q_anti_join,
-    "j5_semi_join": q_semi_join,
+    "j4_semi_anti_join": q_semi_anti_join,
     "j6_range_join": q_range_join,
     "j3_right_join": q_right_join,
     "j8_theta_join": q_theta_join,
@@ -757,8 +837,7 @@ PARITY_QUERIES = {
     "w2_lww_rank": q_lww_rank,
     "w3_lead_sessionize": q_lead_sessionize,
     "o3_topk_per_group": q_topk_per_group,
-    "t1_union_multisource": q_union_multisource,
-    "t2_union_dedup": q_union_dedup,
+    "t1_union_dedup_multisource": q_union_dedup_multisource,
     "t3_except_recon": q_except_recon,
     "s2_rolling_window_reload": q_rolling_window_reload,
     "m1_snapshot_diff_nullsafe": q_snapshot_diff_nullsafe,
@@ -788,11 +867,47 @@ PARITY_ORACLE = {
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE c_mktsegment NOT IN ('MACHINERY','HOUSEHOLD') AND c_name LIKE '%1%'
     """,
-    "p7_regex_validate": """
-        SELECT event_type, COUNT(*) AS n_valid
-        FROM (SELECT event_type, regexp_extract(props, '"k": (\\d+)', 1) AS k FROM events)
-        WHERE regexp_matches(k, '^\\d{2}$')
-        GROUP BY event_type
+    "f1_tz_interval_calendar": """
+        WITH cal AS (
+            SELECT CAST(d AS DATE) AS cal_day, CAST(dayofweek(d) + 1 AS INT) AS dow
+            FROM generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                 INTERVAL 1 DAY) t(d)),
+        e AS (
+            SELECT *,
+                   CASE WHEN user_id % 3 = 0 THEN 'America/New_York'
+                        WHEN user_id % 3 = 1 THEN 'Europe/London'
+                        ELSE 'Asia/Tokyo' END AS tz
+            FROM events),
+        x AS (
+            SELECT tz,
+                   CAST(timezone(tz, timezone('UTC', ts)) AS DATE) AS local_day,
+                   ts + INTERVAL 1 MINUTE * (user_id % 120) AS shifted,
+                   date_trunc('hour', ts)
+                     + INTERVAL 30 MINUTE * CAST(floor(minute(ts) / 30) AS BIGINT) AS slot30,
+                   ts + INTERVAL 6 MONTH AS plus6mo
+            FROM e)
+        SELECT tz, strftime(local_day, '%Y-%m-%d') AS local_day, dow,
+               COUNT(*) AS n_events,
+               strftime(MIN(slot30), '%Y-%m-%d %H:%M:%S') AS first_slot,
+               strftime(MAX(shifted), '%Y-%m-%d %H:%M:%S') AS last_shifted,
+               strftime(MAX(plus6mo), '%Y-%m-%d %H:%M:%S') AS max_plus_6mo
+        FROM x JOIN cal ON local_day = cal_day
+        GROUP BY 1, 2, 3
+    """,
+    "f2_string_parse_flags": """
+        SELECT p_partkey,
+               substring(p_brand, instr(p_brand, '#') + 1) AS brand_digits,
+               CAST(substring(p_brand, instr(p_brand, '#') + 1) AS BIGINT) AS brand_num,
+               lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS padded_key,
+               translate(p_brand, '0123456789', '##########') AS brand_masked,
+               substring(p_name, 1,
+                         length(p_name) - instr(reverse(p_name), ' ')) AS name_prefix,
+               (CASE WHEN p_size > 20 THEN 1 ELSE 0 END)
+                 | (CASE WHEN p_type = 'ECONOMY' THEN 2 ELSE 0 END)
+                 | (CASE WHEN p_partkey % 2 = 0 THEN 4 ELSE 0 END) AS flags
+        FROM part
+        ORDER BY p_partkey ASC
+        LIMIT 100
     """,
     "p8_date_window": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
@@ -812,8 +927,13 @@ PARITY_ORACLE = {
     """,
     "s9_json_flatten": """
         SELECT event_type, COUNT(k) AS n,
-               ROUND(CAST(SUM(CAST(k AS DECIMAL(38,6))) AS DOUBLE), 0) AS sum_k
-        FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+               ROUND(CAST(SUM(CAST(k AS DECIMAL(38,6))) AS DOUBLE), 0) AS sum_k,
+               CAST(SUM(CASE WHEN regexp_matches(k_str, '^\\d{2}$') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_valid_2digit
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                     regexp_extract(props, '"k": (\\d+)', 1) AS k_str
+              FROM events)
         GROUP BY event_type
     """,
     "j1_join_multikey": """
@@ -834,16 +954,23 @@ PARITY_ORACLE = {
         LEFT JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1
     """,
-    "j4_anti_join": """
-        SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
-        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        GROUP BY 1
-    """,
-    "j5_semi_join": """
-        SELECT c_mktsegment, COUNT(*) AS n_customers_with_f_orders
-        FROM customer
-        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-        GROUP BY 1
+    "j4_semi_anti_join": """
+        WITH s AS (
+            SELECT c_mktsegment, COUNT(*) AS n_with_f FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = customer.c_custkey
+                            AND o.o_orderstatus = 'F')
+            GROUP BY 1),
+        a AS (
+            SELECT c_mktsegment, COUNT(*) AS n_without_f FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = customer.c_custkey
+                                AND o.o_orderstatus = 'F')
+            GROUP BY 1)
+        SELECT COALESCE(s.c_mktsegment, a.c_mktsegment) AS c_mktsegment,
+               CAST(COALESCE(n_with_f, 0) AS BIGINT) AS n_with_f,
+               CAST(COALESCE(n_without_f, 0) AS BIGINT) AS n_without_f
+        FROM s FULL JOIN a ON s.c_mktsegment = a.c_mktsegment
     """,
     "j6_range_join": """
         SELECT o_orderpriority, COUNT(*) AS n_fast_ship
@@ -934,10 +1061,10 @@ PARITY_ORACLE = {
     """,
     "a2_conditional_agg": """
         SELECT l_returnflag,
-               SUM(CASE WHEN l_quantity BETWEEN 0 AND 10 THEN 1 ELSE 0 END) AS q_0_10,
-               SUM(CASE WHEN l_quantity BETWEEN 11 AND 25 THEN 1 ELSE 0 END) AS q_11_25,
-               SUM(CASE WHEN l_quantity BETWEEN 26 AND 40 THEN 1 ELSE 0 END) AS q_26_40,
-               SUM(CASE WHEN l_quantity BETWEEN 41 AND 100 THEN 1 ELSE 0 END) AS q_41_plus,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 0 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS q_0_10,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 25 THEN 1 ELSE 0 END) AS BIGINT) AS q_11_25,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 26 AND 40 THEN 1 ELSE 0 END) AS BIGINT) AS q_26_40,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 41 AND 100 THEN 1 ELSE 0 END) AS BIGINT) AS q_41_plus,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY 1
     """,
@@ -960,11 +1087,11 @@ PARITY_ORACLE = {
     "a8_event_sourced_base": """
         WITH daily AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                 - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS delta
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS delta
             FROM events GROUP BY 1)
         SELECT day, delta,
-               SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS base
+               CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS base
         FROM daily
     """,
     "a9_max_conflict": """
@@ -995,7 +1122,7 @@ PARITY_ORACLE = {
                         WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1
                         ELSE 0 END AS new_session
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
-        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM g GROUP BY 1
     """,
     "o3_topk_per_group": """
@@ -1004,18 +1131,13 @@ PARITY_ORACLE = {
                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
         WHERE rk <= 3
     """,
-    "t1_union_multisource": """
-        WITH u AS (
-            SELECT *, 'region_F' AS src FROM orders WHERE o_orderstatus = 'F'
-            UNION ALL SELECT *, 'region_O' FROM orders WHERE o_orderstatus = 'O'
-            UNION ALL SELECT *, 'region_P' FROM orders WHERE o_orderstatus = 'P')
-        SELECT src, COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
-        FROM u GROUP BY 1
-    """,
-    "t2_union_dedup": """
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION SELECT s_nationkey FROM supplier
+    "t1_union_dedup_multisource": """
+        SELECT DISTINCT * FROM (
+            SELECT 'customer' AS src, CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            UNION ALL
+            SELECT 'supplier', CAST(s_nationkey AS BIGINT) FROM supplier
+            UNION ALL
+            SELECT 'nation', CAST(n_nationkey AS BIGINT) FROM nation)
     """,
     "t3_except_recon": """
         SELECT DISTINCT l_orderkey AS orderkey FROM lineitem

@@ -76,12 +76,20 @@ def main() -> int:
         try:
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
+            dtypes = [str(d[1]) for d in res.description]
             drows = res.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             continue
         problems = []
+        # DuckDB promotes SUM(int) to HUGEINT (int128); the driver's hasher
+        # serializes that differently from Spark's BIGINT even when the
+        # values are equal. Treat any HUGEINT output column as a failure so
+        # the local gate matches the driver's (round-1 lesson: a2/a8/w3/d8).
+        huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t.upper()]
+        if huge:
+            problems.append(f"HUGEINT oracle column(s) {huge} — CAST(... AS BIGINT)")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
