@@ -198,7 +198,7 @@ def main() -> None:
     cap_low = cpu_capacity(SCALE_LOW)
     cap_high = cpu_capacity(SCALE_HIGH)
     runs_low, runs_high = [], []
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     for i in range(reps):
         runs_low.append(
             _spawn_replay(SCALE_LOW, lp, os.path.join(REPO, ".bench", f"pages_{SCALE_LOW}"),
@@ -211,8 +211,13 @@ def main() -> None:
     # 2b. multi-batch replay at full configured width (headline + realism)
     wide = _spawn_replay(CPUS, lp, os.path.join(REPO, ".bench", f"pages_{CPUS}"), n_batches=4)
 
-    low = max(runs_low, key=lambda r: r["events_per_sec"])
-    high = max(runs_high, key=lambda r: r["events_per_sec"])
+    def _median_run(runs: list[dict]) -> dict:
+        return sorted(runs, key=lambda r: r["events_per_sec"])[len(runs) // 2]
+
+    # medians over interleaved reps (round-1 used best-of-2; medians are the
+    # honest central tendency under variable host steal)
+    low = _median_run(runs_low)
+    high = _median_run(runs_high)
     hashes = {r["state_hash"] for r in runs_low + runs_high + [wide]}
     identical = len(hashes) == 1
     ratio = SCALE_HIGH / SCALE_LOW
@@ -229,6 +234,9 @@ def main() -> None:
     spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qtimes: dict[str, float] = {}
     queries = entrymod.queries()
+    # JVM/codegen warmup before timing (round 1 booked ~12s of first-query
+    # warmup onto a1) — run the first headline query once, untimed
+    queries[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
         t = time.monotonic()
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -268,8 +276,10 @@ Ledger: seeded synthetic Common-Crawl-style change feed (seed=42), sf={sf}:
 out-of-order, 1% hot-url skew, schema evolution at the midpoint.
 Generation: {gen_sec:.1f}s (cached across runs).
 
-End-to-end replay = ledger read -> pandas-UDF HTML extract -> salted LWW
-dedup -> bucket-pruned merge -> atomic commit (checkpoints in-manifest).
+End-to-end replay = ledger read -> salted LWW dedup -> pandas-UDF HTML
+extract -> merge-on-read delta commit (checkpoints in-manifest; ONE Spark
+job per batch, stats via observe()); final state read LWW-resolves
+base+delta. state_hash therefore prices the read path too.
 
 ## Scaling pair: local[{SCALE_LOW}] vs local[{SCALE_HIGH}] (N and 4N cores), single-batch replay
 
@@ -278,9 +288,10 @@ dedup -> bucket-pruned merge -> atomic commit (checkpoints in-manifest).
 | local[{SCALE_LOW}] | {low['wall_sec']} | {low['events_per_sec']:,} | {low['live_rows']:,} | {low['state_hash']} |
 | local[{SCALE_HIGH}] | {high['wall_sec']} | {high['events_per_sec']:,} | {high['live_rows']:,} | {high['state_hash']} |
 
-(best of {len(runs_low)} interleaved runs per level — host steal varies minute-to-minute,
-so the least-contended run is the representative one. All runs (events/sec):
-low={[r['events_per_sec'] for r in runs_low]}, high={[r['events_per_sec'] for r in runs_high]})
+(median of {len(runs_low)} interleaved runs per level — host steal varies
+minute-to-minute; medians are the honest central tendency. All runs
+(events/sec): low={[r['events_per_sec'] for r in runs_low]},
+high={[r['events_per_sec'] for r in runs_high]})
 
 **Raw scaling efficiency (T_{SCALE_HIGH} / T_{SCALE_LOW}) / {SCALE_HIGH // SCALE_LOW} = {efficiency}** (target >= 0.8 per BASELINE.json)
 

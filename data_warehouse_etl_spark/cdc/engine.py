@@ -1,16 +1,23 @@
 """The CDC engine: deterministic micro-batched replay of a change ledger into
 a lake table, exactly-once, with per-partition checkpoints and metrics.
 
-Lifecycle per batch (SURVEY.md §3.4):
+Lifecycle per batch (SURVEY.md §3.4), merge-on-read default:
 
     changes ledger (LakeTable)                                  [source]
       → slice per-part offset range (cp[p], cp[p]+batch_size]   [plan; file-stats pruning]
       → LWW dedup, salted hot-url two-phase reduce              [shuffle 1]
       → pandas/Arrow UDF: html → text on surviving rows only    [transform]
-      → merge vs current bucket state (full outer on url)       [shuffle 2, bucket-pruned]
-      → overwrite_buckets commit, carrying offsets in the same
-        manifest — checkpoint+data are ONE atomic transaction   [exactly-once]
-      → append per-part lineage row to _metrics                 [observability]
+      → append_deltas commit: survivors land as per-bucket
+        DELTA files, offsets in the same manifest — ONE Spark
+        job/batch, O(batch) bytes written, no old-state read    [exactly-once]
+      → per-part input/output stats ride that job via observe() [observability]
+      → reads LWW-resolve base+delta; compact() folds deltas
+        back into base on the operator's cadence                [read path]
+
+    merge_strategy="cow" keeps the round-1 copy-on-write path (full-outer
+    merge vs affected buckets, exact insert/update classes) — both reach
+    byte-identical state; MoR removes the O(table)-per-batch rewrite
+    ceiling that made CoW replay quadratic in table size.
 
 Exactly-once: the manifest pointer swap is the commit point and the committed
 offsets ride in the same manifest (the reference needed a rename-swap publish
@@ -42,7 +49,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake import LakeTable
@@ -89,6 +96,22 @@ class EngineConfig:
     # "salted" = always two-phase, "plain" = single-phase max_by agg
     skew_mode: str = "detect"
     hot_threshold: int = 1_000_000
+    # apply strategy:
+    # - "mor" (default): merge-on-read — each batch commits its deduped rows
+    #   as per-bucket DELTA files (append_deltas); no old-state read, no
+    #   carried-row rewrite. Per-batch write cost is O(batch) regardless of
+    #   table size; reads LWW-resolve base+delta. ONE Spark job per batch.
+    # - "cow": copy-on-write — full-outer merge against the affected buckets'
+    #   current state, rewriting those buckets (per-batch cost
+    #   O(batch + affected-bucket data); exact insert/update metric classes).
+    # Both reach byte-identical final state (test_mor_cow_parity).
+    merge_strategy: str = "mor"
+    # MoR: fold deltas into base files every N batches (0 = only on demand
+    # via engine.compact()). Compaction is a pure layout change — state_hash
+    # is invariant to cadence — trading a periodic O(table-with-deltas)
+    # rewrite for bounded read amplification. At 10^10 events pick N so
+    # deltas-per-bucket stays ~tens (see SCALE.md).
+    compact_every_batches: int = 0
     watermark_delay_s: int | None = None  # drop events older than max(warc_ts)-delay
     lang_col_priority: bool = True  # trust feed lang; detect only when absent
     # flush the observational metrics/checkpoints mirror tables every N
@@ -128,6 +151,10 @@ class CdcEngine:
             schema=cols,
             bucket_col="url",
             num_buckets=self.cfg.num_buckets,
+            # merge-on-read resolution law == the engine's LWW law: one live
+            # row per url, greatest (warc_ts, _seq) wins
+            row_key="url",
+            version_cols=["warc_ts", "_seq"],
             properties={
                 CHECKPOINTS_PROP: "{}",
                 BATCH_PROP: "0",
@@ -178,9 +205,21 @@ class CdcEngine:
                 if not self.run_one_batch(max_seq):
                     break
                 applied += 1
+                if (
+                    self.cfg.compact_every_batches
+                    and self.last_batch_id() % self.cfg.compact_every_batches == 0
+                ):
+                    self.compact()
         finally:
             self.flush_mirrors()
         return applied
+
+    def compact(self, buckets: list[int] | None = None) -> None:
+        """Fold merge-on-read delta files into base files (pure layout
+        change; state_hash invariant — see LakeTable.compact)."""
+        self.pages = self.pages.compact(
+            self.spark, buckets=buckets, files_per_bucket=self.cfg.files_per_bucket
+        )
 
     def flush_mirrors(self) -> None:
         """Write buffered lineage rows to the mirror tables."""
@@ -227,25 +266,26 @@ class CdcEngine:
         events = raw.filter(pred)
 
         if cfg.watermark_delay_s is not None:
+            # the cutoff value must exist BEFORE the pipeline runs, so the
+            # watermark costs one extra (pre-aggregated) pass when enabled;
+            # all other per-batch stats ride the batch's own job via observe()
             wm = events.agg(F.max("warc_ts").alias("m")).collect()[0]["m"]
             if wm is not None:
                 cutoff = F.lit(wm) - F.expr(f"INTERVAL {cfg.watermark_delay_s} SECONDS")
                 events = events.filter(F.col("warc_ts") >= cutoff)
 
         tm = _Timer(f"batch{batch_id}")
-        # ---- per-part input stats (one pre-aggregated pass)
-        instats = self._input_stats(events)
-        tm.mark("instats")
-
-        # ---- transform + merge + atomic commit
+        # ---- transform + apply + atomic commit (input/output stats observed
+        # on the same job — no separate stats passes)
         new_cps = {**cps, **targets}
-        mstats = self._transform_and_merge(
+        instats, mstats = self._transform_and_merge(
             events,
             properties_update={
                 CHECKPOINTS_PROP: json.dumps({str(k): v for k, v in sorted(new_cps.items())}),
                 BATCH_PROP: str(batch_id),
             },
             timer=tm,
+            parts=sorted(targets),
         )
 
         # ---- observability (buffered; authoritative offsets are in the commit)
@@ -276,11 +316,26 @@ class CdcEngine:
             if stream_batch_id <= last:
                 return False
         self.pages = evolve.sync_schema(self.ledger, self.pages)
-        instats = self._input_stats(events)
+        # same late-data law as the batch loop (a withWatermark on a
+        # foreachBatch sink is a no-op — the filter must run here)
+        if self.cfg.watermark_delay_s is not None:
+            wm = events.agg(F.max("warc_ts").alias("m")).collect()[0]["m"]
+            if wm is not None:
+                cutoff = F.lit(wm) - F.expr(
+                    f"INTERVAL {self.cfg.watermark_delay_s} SECONDS"
+                )
+                events = events.filter(F.col("warc_ts") >= cutoff)
+        # arbitrary DF: the part set is unknown upfront, so one counting
+        # pass here (the deterministic batch loop avoids it via targets)
+        parts = sorted(
+            int(r["part"]) for r in events.select("part").distinct().collect()
+        )
         props = {}
         if stream_batch_id is not None:
             props["last_stream_batch_id"] = str(stream_batch_id)
-        mstats = self._transform_and_merge(events, properties_update=props)
+        instats, mstats = self._transform_and_merge(
+            events, properties_update=props, parts=parts
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         label = stream_batch_id if stream_batch_id is not None else self.last_batch_id()
         self.metrics.append(
@@ -288,23 +343,40 @@ class CdcEngine:
         )
         return True
 
-    def _input_stats(self, events: DataFrame) -> dict[int, dict]:
-        return {
-            int(r["part"]): r
-            for r in events.groupBy("part")
-            .agg(
-                F.count("*").alias("events_in"),
-                F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes_html"),
-            )
-            .collect()
-        }
+    @staticmethod
+    def _observed(obs: Observation, key: str) -> int:
+        v = obs.get.get(key)
+        return int(v) if v is not None else 0
 
     def _transform_and_merge(
-        self, events: DataFrame, properties_update: dict[str, str], timer: _Timer | None = None
-    ) -> dict:
+        self,
+        events: DataFrame,
+        properties_update: dict[str, str],
+        timer: _Timer | None = None,
+        parts: list[int] | None = None,
+    ) -> tuple[dict[int, dict], dict]:
+        """Dedup + extract + apply. Returns (instats, mstats), both computed
+        with ``observe()`` on the batch's own job(s) — stats never add a
+        driver-barrier pass over the events (round-1 cost: 2 extra O(batch)
+        scans per batch)."""
         cfg = self.cfg
         tm = timer or _Timer("apply")
+        parts = parts or []
         payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
+
+        # ---- observed per-part input stats (ride the first action)
+        obs_in = Observation()
+        in_aggs = []
+        for p in parts:
+            is_p = F.col("part") == p
+            in_aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"in_{p}"))
+            in_aggs.append(
+                F.sum(
+                    F.when(is_p, F.coalesce(F.length("html"), F.lit(0))).otherwise(0)
+                ).alias(f"by_{p}")
+            )
+        if in_aggs:
+            events = events.observe(obs_in, *in_aggs)
 
         # ---- LWW dedup (skew-aware reduce, see cfg.skew_mode)
         deduped = lww_dedup_auto(
@@ -330,62 +402,149 @@ class CdcEngine:
                 ),
             )
 
-        # ---- merge vs current state, pruned to affected buckets.
+        page_fields = [f.name for f in self.pages.manifest.current_fields]
+
+        if cfg.merge_strategy == "mor":
+            mstats = self._apply_mor(enriched, page_fields, properties_update, parts, tm)
+        else:
+            mstats = self._apply_cow(enriched, page_fields, properties_update, parts, tm)
+
+        instats = {
+            p: {
+                "events_in": self._observed(obs_in, f"in_{p}"),
+                "bytes_html": self._observed(obs_in, f"by_{p}"),
+            }
+            for p in parts
+        }
+        return instats, mstats
+
+    def _apply_mor(
+        self,
+        enriched: DataFrame,
+        page_fields: list[str],
+        properties_update: dict[str, str],
+        parts: list[int],
+        tm: _Timer,
+    ) -> dict:
+        """Merge-on-read apply: commit the batch's LWW survivors as delta
+        files. No old-state read, no bucket discovery, no carried-row
+        rewrite — ONE Spark job per batch, writing O(batch) bytes however
+        large the table has grown. Late rows (older than the current live
+        row) are stored and simply lose read-time resolution, so
+        ``late_dropped`` is structurally 0 here and insert-vs-update is not
+        split (MoR never looks at old state; metrics report ``upsert``)."""
+        cfg = self.cfg
+        obs_out = Observation()
+        out_aggs = []
+        for p in parts:
+            is_p = F.col("part") == p
+            out_aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"surv_{p}"))
+            out_aggs.append(
+                F.sum(F.when(is_p & (F.col("op") == "D"), 1).otherwise(0)).alias(f"del_{p}")
+            )
+        if out_aggs:
+            enriched = enriched.observe(obs_out, *out_aggs)
+
+        def val(name: str):
+            if name == "_seq":
+                return F.col("seq")
+            if name == "_deleted":
+                return F.col("op") == "D"
+            return F.col(name)
+
+        delta = enriched.select(*[val(n).alias(n) for n in page_fields])
+        self.pages = self.pages.append_deltas(
+            delta,
+            properties_update=properties_update,
+            files_per_bucket=cfg.files_per_bucket,
+        )
+        tm.mark("dedup+extract+delta_commit")
+
+        mstats: dict = {}
+        for p in parts:
+            d = self._observed(obs_out, f"del_{p}")
+            s = self._observed(obs_out, f"surv_{p}")
+            if s - d:
+                mstats[(p, "upsert")] = s - d
+            if d:
+                mstats[(p, "delete")] = d
+        return mstats
+
+    def _apply_cow(
+        self,
+        enriched: DataFrame,
+        page_fields: list[str],
+        properties_update: dict[str, str],
+        parts: list[int],
+        tm: _Timer,
+    ) -> dict:
+        """Copy-on-write apply: full-outer merge vs the affected buckets'
+        current state, rewriting those buckets. Exact insert/update/late
+        metric classes; per-batch cost O(batch + affected-bucket data)."""
+        cfg = self.cfg
         # enriched is cached before the bucket-discovery action so the
         # extract UDF and the dedup shuffle run exactly once per batch.
         enriched = enriched.persist()
-        bucket_of = self.pages.bucket_expr("url")
-        affected = sorted(
-            r["b"] for r in enriched.select(bucket_of.alias("b")).distinct().collect()
-        )
-        tm.mark("dedup+extract+buckets")
-        old = self.pages.read(self.spark, buckets=affected)
-
-        page_fields = [f.name for f in self.pages.manifest.current_fields]
-        n = enriched.alias("n")
-        o = old.alias("o")
-        joined = n.join(o, F.col("n.url") == F.col("o.url"), "full_outer")
-        has_new = F.col("n.seq").isNotNull()
-        has_old = F.col("o._seq").isNotNull()
-        newer = F.struct(F.col("n.warc_ts"), F.col("n.seq")) > F.struct(
-            F.col("o.warc_ts"), F.col("o._seq")
-        )
-        take_new = has_new & (~has_old | newer)
-
-        def new_val(name: str):
-            if name == "text":
-                return F.col("n.text")
-            if name == "_seq":
-                return F.col("n.seq")
-            if name == "_deleted":
-                return F.col("n.op") == "D"
-            return F.col(f"n.{name}")
-
-        out_cols = [
-            F.coalesce(F.col("n.url"), F.col("o.url")).alias("url")
-            if name == "url"
-            else F.when(take_new, new_val(name)).otherwise(F.col(f"o.{name}")).alias(name)
-            for name in page_fields
-        ]
-        klass = (
-            F.when(~has_new, F.lit("carry"))
-            .when(~has_old & (F.col("n.op") == "D"), F.lit("delete_absent"))
-            .when(~has_old, F.lit("insert"))
-            .when(take_new & (F.col("n.op") == "D"), F.lit("delete"))
-            .when(take_new, F.lit("update"))
-            .otherwise(F.lit("late_dropped"))
-        )
-        merged = joined.select(*out_cols, klass.alias("_class"), F.col("n.part").alias("_part"))
-        merged = merged.persist()
         try:
-            mstats = {
-                (int(r["_part"]), r["_class"]): int(r["cnt"])
-                for r in merged.filter(F.col("_class") != "carry")
-                .groupBy("_part", "_class")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
-            tm.mark("merge+mstats")
+            bucket_of = self.pages.bucket_expr("url")
+            affected = sorted(
+                r["b"] for r in enriched.select(bucket_of.alias("b")).distinct().collect()
+            )
+            tm.mark("dedup+extract+buckets")
+            old = self.pages.read(self.spark, buckets=affected)
+
+            n = enriched.alias("n")
+            o = old.alias("o")
+            joined = n.join(o, F.col("n.url") == F.col("o.url"), "full_outer")
+            has_new = F.col("n.seq").isNotNull()
+            has_old = F.col("o._seq").isNotNull()
+            newer = F.struct(F.col("n.warc_ts"), F.col("n.seq")) > F.struct(
+                F.col("o.warc_ts"), F.col("o._seq")
+            )
+            take_new = has_new & (~has_old | newer)
+
+            def new_val(name: str):
+                if name == "text":
+                    return F.col("n.text")
+                if name == "_seq":
+                    return F.col("n.seq")
+                if name == "_deleted":
+                    return F.col("n.op") == "D"
+                return F.col(f"n.{name}")
+
+            out_cols = [
+                F.coalesce(F.col("n.url"), F.col("o.url")).alias("url")
+                if name == "url"
+                else F.when(take_new, new_val(name)).otherwise(F.col(f"o.{name}")).alias(name)
+                for name in page_fields
+            ]
+            klass = (
+                F.when(~has_new, F.lit("carry"))
+                .when(~has_old & (F.col("n.op") == "D"), F.lit("delete_absent"))
+                .when(~has_old, F.lit("insert"))
+                .when(take_new & (F.col("n.op") == "D"), F.lit("delete"))
+                .when(take_new, F.lit("update"))
+                .otherwise(F.lit("late_dropped"))
+            )
+            merged = joined.select(
+                *out_cols, klass.alias("_class"), F.col("n.part").alias("_part")
+            )
+
+            # merge-class counts observed on the write job itself (round 1
+            # ran a separate collect over a persisted copy of merged)
+            klasses = ("insert", "update", "delete", "delete_absent", "late_dropped")
+            obs_m = Observation()
+            m_aggs = []
+            for p in parts:
+                is_p = F.col("_part") == p
+                for k in klasses:
+                    m_aggs.append(
+                        F.sum(
+                            F.when(is_p & (F.col("_class") == k), 1).otherwise(0)
+                        ).alias(f"c_{p}_{k}")
+                    )
+            if m_aggs:
+                merged = merged.observe(obs_m, *m_aggs)
 
             # ---- atomic commit: data + offsets/ids in one manifest swap
             self.pages = self.pages.overwrite_buckets(
@@ -394,10 +553,16 @@ class CdcEngine:
                 properties_update=properties_update,
                 files_per_bucket=cfg.files_per_bucket,
             )
-            tm.mark("commit_write")
+            tm.mark("merge+commit_write")
         finally:
-            merged.unpersist()
             enriched.unpersist()
+
+        mstats: dict = {}
+        for p in parts:
+            for k in klasses:
+                c = self._observed(obs_m, f"c_{p}_{k}")
+                if c:
+                    mstats[(p, k)] = c
         return mstats
 
     def _metric_rows(
@@ -421,7 +586,9 @@ class CdcEngine:
                     "part": p,
                     "events_in": ev_in,
                     "inserts": mstats.get((p, "insert"), 0),
-                    "updates": mstats.get((p, "update"), 0),
+                    # MoR reports upserts here (insert-vs-update needs old
+                    # state, which merge-on-read never reads)
+                    "updates": mstats.get((p, "update"), 0) + mstats.get((p, "upsert"), 0),
                     "deletes": mstats.get((p, "delete"), 0)
                     + mstats.get((p, "delete_absent"), 0),
                     "dedup_dropped": ev_in - survivors_by_part.get(p, 0),

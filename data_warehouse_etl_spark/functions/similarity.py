@@ -6,11 +6,13 @@ Components (the brief's ANN requirements, graded alongside SURVEY.md §2):
   ``zip_with`` + ``aggregate`` (JVM-side, no Python); a left fold so the
   summation order is fixed → bit-identical across engines and parallelism.
 - **Bucketed (IVF-style) ANN** — the scale path: vectors are assigned to the
-  per-``label`` partition (the testdata's labels play the role of coarse
-  k-means cells), the query probes the best cells only. At 100 TB this is a
-  partition-pruned scan: bucket id in the partition spec ⇒ only probed
-  buckets are read. The same machinery with sign-random-projection buckets
-  (see simhash in textops) gives LSH-ANN.
+  per-``label`` cell (the testdata's labels play the role of a coarse
+  k-means quantizer). The probe pass ranks a CENTROID relation (one mean
+  vector per cell, built by posexplode+avg — at scale a precomputed,
+  incrementally-maintained table), then only the top cells are scanned. At
+  100 TB this is a partition-pruned scan: cell id in the partition spec ⇒
+  only probed buckets are read. The same machinery with
+  sign-random-projection buckets (see simhash in textops) gives LSH-ANN.
 - **Embedding near-dup pairs** — cosine ≥ threshold within a bucket;
   bucket-keyed self-join bounds the pair explosion exactly like the LSH
   band join.

@@ -53,26 +53,48 @@ def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 
 _EXACT_BODY = """
-    SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
-    FROM (SELECT doc_id, md5(text) AS fp FROM {doc})
-    GROUP BY fp HAVING COUNT(*) > 1
+    WITH fps AS (SELECT doc_id, source, md5(text) AS fp FROM {doc}),
+    groups AS (
+        SELECT source, fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+        FROM fps GROUP BY source, fp)
+    SELECT source,
+           COUNT(*) AS n_distinct_texts,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_rows_removed,
+           CAST(MIN(keeper_doc_id) AS BIGINT) AS min_keeper_doc_id
+    FROM groups GROUP BY source
 """
 
 
 def q_dedup_exact(spark, sf):
     """Exact dedup: hash-groupBy on full content (reference analog: DISTINCT
     projections and dup probes, /root/reference/Sql Scripts/
-    FCT_RESERVATION_UPD.sql:158-162). One shuffle on the content hash."""
+    FCT_RESERVATION_UPD.sql:158-162). One shuffle on the content hash.
+    Reported as per-source dedup accounting (docs vs distinct texts vs rows
+    a dedup pass would remove) so the query returns real rows on any corpus
+    — a dup-groups-only projection is vacuously green on a dup-free corpus
+    (round-1 lesson from v3)."""
     return _run(spark, sf, _EXACT_BODY.format(doc="documents_v"))
 
 
 # ------------------------------------------------------------ n-gram jaccard
 
+# Document-frequency cap before the pair join: a shingle appearing in many
+# docs (boilerplate, top English 3-grams) makes its bucket's pair count
+# |bucket|² — at corpus scale a single hot shingle explodes the join. Capped
+# shingles carry ~no dedup signal anyway (they don't discriminate). The cap
+# is relative (2% of docs) with an absolute floor so tiny corpora keep all
+# shingles. Jaccard is then computed over the capped vocabulary (standard
+# stop-shingle treatment; sizes recomputed post-cap for consistency).
 _JACCARD_BODY = """
-    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    , keep AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= (SELECT GREATEST(25.0, 0.02 * COUNT(*)) FROM {doc})),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
@@ -84,10 +106,17 @@ _JACCARD_BODY = """
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """Near-dup detection: word-3-gram shingle sets, pairwise Jaccard ≥ 0.6.
-    The pair join is keyed on the shingle (bounded fan-out per shingle), not
+    """Near-dup detection: word-3-gram shingle sets, pairwise Jaccard ≥ 0.6
+    over the DF-capped shingle vocabulary (see _JACCARD_BODY). The pair join
+    is keyed on the shingle (bounded fan-out per shingle after the cap), not
     a cross join; Jaccard from |A∩B| and per-doc set sizes."""
-    return _run(spark, sf, "WITH " + _SHINGLES_SPARK.format(doc="documents_v") + _JACCARD_BODY)
+    return _run(
+        spark,
+        sf,
+        "WITH "
+        + _SHINGLES_SPARK.format(doc="documents_v")
+        + _JACCARD_BODY.format(doc="documents_v"),
+    )
 
 
 # -------------------------------------------------------------- minhash+LSH
@@ -288,7 +317,7 @@ TEXT_ORACLE = {
     "d1_dedup_exact": _EXACT_BODY.format(doc="documents"),
     "d2_dedup_ngram_jaccard": "WITH "
     + _SHINGLES_DUCK.format(doc="documents")
-    + _JACCARD_BODY,
+    + _JACCARD_BODY.format(doc="documents"),
     "d3_dedup_minhash_lsh": _minhash_sql(_SHINGLES_DUCK, "documents"),
     "d4_dedup_simhash": _simhash_sql("documents", "unnest(string_split(text, ' '))"),
     "d5_doc_fingerprint": _FPRINT_BODY.format(doc="documents"),

@@ -84,14 +84,23 @@ class Manifest:
     next_field_id: int
     bucket_col: str | None
     num_buckets: int
-    # files: list of {"path": rel, "bucket": int, "schema_version": int, "rows": int}
+    # files: list of {"path": rel, "bucket": int, "schema_version": int,
+    #                 "kind": "base"|"delta" (absent = base), "rows": int}
     files: list[dict[str, Any]] = field(default_factory=list)
     properties: dict[str, str] = field(default_factory=dict)
     history: list[dict[str, Any]] = field(default_factory=list)
+    # merge-on-read resolution spec: one live row per row_key, the row with
+    # the greatest version_cols tuple wins (None = plain table, no MoR)
+    row_key: str | None = None
+    version_cols: list[str] = field(default_factory=list)
 
     @property
     def current_fields(self) -> list[FieldSpec]:
         return self.schemas[self.schema_version]
+
+    @property
+    def has_deltas(self) -> bool:
+        return any(f.get("kind", "base") == "delta" for f in self.files)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -107,6 +116,8 @@ class Manifest:
             "files": self.files,
             "properties": self.properties,
             "history": self.history,
+            "row_key": self.row_key,
+            "version_cols": self.version_cols,
         }
 
     @staticmethod
@@ -125,6 +136,8 @@ class Manifest:
             files=d["files"],
             properties=d.get("properties", {}),
             history=d.get("history", []),
+            row_key=d.get("row_key"),
+            version_cols=d.get("version_cols", []),
         )
 
 
@@ -152,8 +165,15 @@ class LakeTable:
         bucket_col: str | None = None,
         num_buckets: int = 16,
         properties: dict[str, str] | None = None,
+        row_key: str | None = None,
+        version_cols: list[str] | None = None,
     ) -> "LakeTable":
-        """Create an empty table. ``schema`` is [(name, spark_ddl_type), ...]."""
+        """Create an empty table. ``schema`` is [(name, spark_ddl_type), ...].
+
+        ``row_key`` + ``version_cols`` declare merge-on-read semantics: reads
+        resolve to one row per key (greatest version tuple wins), which lets
+        :meth:`append_deltas` commit upserts without rewriting base files.
+        """
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         fields = [FieldSpec(i + 1, n, t) for i, (n, t) in enumerate(schema)]
@@ -167,6 +187,8 @@ class LakeTable:
             num_buckets=num_buckets,
             properties=dict(properties or {}),
             history=[{"version": 0, "operation": "create"}],
+            row_key=row_key,
+            version_cols=list(version_cols or []),
         )
         LakeTable._write_manifest(path, m)
         LakeTable._swap_pointer(path, 0)
@@ -209,6 +231,7 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         file_filter=None,
+        resolve: bool = True,
     ) -> DataFrame:
         """Read the current snapshot, optionally pruned to a bucket subset.
 
@@ -220,6 +243,14 @@ class LakeTable:
         Files written under older schema versions are mapped to the current
         schema by field id: renamed columns resolve to their current name,
         added columns appear as typed nulls.
+
+        Merge-on-read: when the table declares ``row_key``/``version_cols``
+        and the selected files include delta files, rows are resolved to one
+        live row per key (greatest version tuple wins — exact LWW, one
+        hash-aggregate shuffle with map-side combine, no window sort). Pass
+        ``resolve=False`` for the raw base+delta rows (compaction internals,
+        delta inspection). Resolution is per-key and the bucket transform is
+        on the key, so a bucket-pruned read resolves correctly in isolation.
         """
         m = self.manifest
         files = m.files
@@ -250,7 +281,40 @@ class LakeTable:
                     cols.append(F.lit(None).cast(_spark_type(f.type)).alias(f.name))
             part = df.select(*cols)
             out = part if out is None else out.unionByName(part)
+
+        needs_resolve = m.row_key is not None and any(
+            f.get("kind", "base") == "delta" for f in files
+        )
+        if resolve and needs_resolve:
+            out = self._resolve(out)
         return out
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """LWW-resolve base+delta rows: argmax over version_cols per row_key.
+
+        Aggregation (max_by), not a window: map-side partial aggregation
+        collapses each key to one candidate per input partition before the
+        shuffle, so hot keys never serialize through a single sorted task.
+        version_cols end in a globally unique id (_seq), so the argmax is
+        total-ordered → deterministic at any parallelism/batch slicing.
+        """
+        m = self.manifest
+        value_cols = [c for c in df.columns if c != m.row_key]
+        return (
+            df.groupBy(m.row_key)
+            .agg(
+                F.max_by(
+                    F.struct(*value_cols),
+                    F.struct(*[F.col(c) for c in m.version_cols]),
+                ).alias("_r")
+            )
+            .select(
+                *[
+                    F.col(c) if c == m.row_key else F.col(f"_r.{c}").alias(c)
+                    for c in df.columns
+                ]
+            )
+        )
 
     # ----------------------------------------------------------------- write
 
@@ -308,30 +372,70 @@ class LakeTable:
         schemas_update: dict[int, list[FieldSpec]] | None = None,
         schema_version: int | None = None,
         next_field_id: int | None = None,
+        bucket_col_override: str | None = None,
     ) -> "LakeTable":
         m = self.manifest
-        # single-writer CAS: verify the pointer hasn't advanced under us
-        with open(os.path.join(self.path, "metadata", _POINTER)) as fh:
-            if int(fh.read().strip()) != m.version:
+        # Optimistic lock: O_CREAT|O_EXCL lock file serializes committers so
+        # a losing racer gets the RuntimeError instead of silently clobbering
+        # the winner's manifest (check-then-act alone is not atomic). A lock
+        # older than _LOCK_STALE_S is treated as a crashed committer's.
+        lock = os.path.join(self.path, "metadata", "commit.lock")
+        fd = self._acquire_lock(lock)
+        try:
+            with open(os.path.join(self.path, "metadata", _POINTER)) as fh:
+                if int(fh.read().strip()) != m.version:
+                    raise RuntimeError(
+                        f"concurrent commit detected on {m.table}: refresh() and retry"
+                    )
+            new = Manifest(
+                table=m.table,
+                version=m.version + 1,
+                schema_version=m.schema_version if schema_version is None else schema_version,
+                schemas={**m.schemas, **(schemas_update or {})},
+                next_field_id=m.next_field_id if next_field_id is None else next_field_id,
+                bucket_col=m.bucket_col if bucket_col_override is None else bucket_col_override,
+                num_buckets=m.num_buckets,
+                files=new_files,
+                properties={**m.properties, **(properties_update or {})},
+                history=m.history + [{"version": m.version + 1, "operation": operation}],
+                row_key=m.row_key,
+                version_cols=m.version_cols,
+            )
+            LakeTable._write_manifest(self.path, new)
+            LakeTable._swap_pointer(self.path, new.version)
+            self.manifest = new
+            return self
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    _LOCK_STALE_S = 300.0
+
+    @staticmethod
+    def _acquire_lock(lock: str):
+        import time as _time
+
+        for _ in range(2):
+            try:
+                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between EEXIST and stat; retry
+                if age > LakeTable._LOCK_STALE_S:
+                    try:
+                        os.unlink(lock)  # break a crashed committer's lock
+                    except OSError:
+                        pass
+                    continue
                 raise RuntimeError(
-                    f"concurrent commit detected on {m.table}: refresh() and retry"
+                    f"concurrent commit in progress ({lock} held): refresh() and retry"
                 )
-        new = Manifest(
-            table=m.table,
-            version=m.version + 1,
-            schema_version=m.schema_version if schema_version is None else schema_version,
-            schemas={**m.schemas, **(schemas_update or {})},
-            next_field_id=m.next_field_id if next_field_id is None else next_field_id,
-            bucket_col=m.bucket_col,
-            num_buckets=m.num_buckets,
-            files=new_files,
-            properties={**m.properties, **(properties_update or {})},
-            history=m.history + [{"version": m.version + 1, "operation": operation}],
-        )
-        LakeTable._write_manifest(self.path, new)
-        LakeTable._swap_pointer(self.path, new.version)
-        self.manifest = new
-        return self
+        raise RuntimeError(f"could not acquire commit lock {lock}")
 
     def append(
         self,
@@ -363,6 +467,73 @@ class LakeTable:
         kept = [f for f in self.manifest.files if f["bucket"] not in bset]
         return self._commit(
             kept + entries, "overwrite_buckets", properties_update=properties_update
+        )
+
+    def append_deltas(
+        self,
+        df: DataFrame,
+        properties_update: dict[str, str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> "LakeTable":
+        """Merge-on-read upsert: commit df's rows as per-bucket DELTA files
+        without reading or rewriting any carried row.
+
+        This is the bounded-write path the copy-on-write merge cannot give:
+        per-batch written bytes are O(batch), never O(affected buckets), so
+        replay cost is linear in event count even when every batch touches
+        every bucket. Reads resolve base+delta by the table's
+        (row_key, version_cols) LWW rule; :meth:`compact` folds deltas back
+        into base files (copy-on-write as the *compaction* mechanism, on the
+        operator's cadence instead of every batch). A tombstone row
+        (engine's ``_deleted=true``) is just a delta row that wins
+        resolution — final state stays independent of batch slicing.
+
+        Mirrors Iceberg's merge-on-read row-delta commits; the reference's
+        own incremental idiom never rewrites the full table either
+        (delete+reinsert windows, STG_SP_ATTRIBUTION_ET.sql:220-228).
+        """
+        if self.manifest.row_key is None:
+            raise ValueError(
+                f"table {self.manifest.table} has no row_key/version_cols; "
+                "append_deltas requires merge-on-read semantics declared at create()"
+            )
+        entries = self._write_data(df, files_per_bucket)
+        for e in entries:
+            e["kind"] = "delta"
+        return self._commit(
+            self.manifest.files + entries,
+            "append_deltas",
+            properties_update=properties_update,
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        properties_update: dict[str, str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> "LakeTable":
+        """Fold delta files back into base files for the given buckets
+        (default: every bucket that currently has deltas).
+
+        Pure layout change: the resolved row set is unchanged (state_hash
+        before == after), only read amplification drops. Tombstones survive
+        compaction — a late event older than an applied delete must stay
+        dead no matter when compaction ran.
+        """
+        m = self.manifest
+        if buckets is None:
+            buckets = sorted(
+                {f["bucket"] for f in m.files if f.get("kind", "base") == "delta"}
+            )
+        if not buckets:
+            return self
+        resolved = self.read(spark, buckets=buckets)  # LWW-resolved
+        entries = self._write_data(resolved, files_per_bucket)
+        bset = set(buckets)
+        kept = [f for f in m.files if f["bucket"] not in bset]
+        return self._commit(
+            kept + entries, "compact", properties_update=properties_update
         )
 
     def replace(
@@ -427,14 +598,16 @@ class LakeTable:
         fields = [
             FieldSpec(f.id, new if f.name == old else f.name, f.type) for f in m.current_fields
         ]
-        bucket_col = m.bucket_col
-        out = self._commit(
-            m.files, f"rename_column:{old}->{new}", schemas_update={sv: fields}, schema_version=sv
+        return self._commit(
+            m.files,
+            f"rename_column:{old}->{new}",
+            schemas_update={sv: fields},
+            schema_version=sv,
+            # bucket_col rename rides in the SAME atomic manifest swap — a
+            # crash can never publish a manifest whose bucket_col names a
+            # column that no longer exists
+            bucket_col_override=new if m.bucket_col == old else None,
         )
-        if bucket_col == old:
-            out.manifest.bucket_col = new
-            LakeTable._write_manifest(out.path, out.manifest)
-        return out
 
     # ------------------------------------------------------------- internals
 
@@ -444,6 +617,8 @@ class LakeTable:
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(m.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # durable before the pointer can reference it
         os.rename(tmp, target)
 
     @staticmethod
@@ -452,7 +627,14 @@ class LakeTable:
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
         os.rename(tmp, target)  # POSIX atomic replace = the commit point
+        dfd = os.open(os.path.dirname(target), os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the rename itself across crashes
+        finally:
+            os.close(dfd)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

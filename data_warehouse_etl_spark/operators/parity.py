@@ -613,7 +613,7 @@ def q_except_recon(spark, sf):
     li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("orderkey")).distinct()
     o = (
         _t(spark, sf, "orders")
-        .filter(F.col("o_totalprice") > 1000)
+        .filter(F.col("o_totalprice") > 30000)
         .select(F.col("o_orderkey").alias("orderkey"))
         .distinct()
     )
@@ -1142,7 +1142,7 @@ PARITY_ORACLE = {
     "t3_except_recon": """
         SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
         EXCEPT
-        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 1000
+        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 30000
     """,
     "m1_snapshot_diff_nullsafe": """
         WITH b AS (

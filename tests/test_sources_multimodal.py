@@ -74,3 +74,34 @@ def test_sample_video_frames(spark):
     out = sample_video_frames(_media_df(spark).filter("media_id = 2"), every_n_bytes=1024)
     offs = sorted(r["frame_offset"] for r in out.collect())
     assert offs == [0, 1024, 2048, 3072, 4096]
+
+
+def test_xml_feed_export_roundtrip(spark):
+    """Feed production side (S7): export listings → XML docs with
+    LWW-enforced unique ids, re-parse with parse_xml_feed_udf, get exactly
+    the deduped listing set back (XSD uniqueness + lossless round-trip,
+    including XML-special characters)."""
+    from data_warehouse_etl_spark.sources import export_xml_feed, parse_xml_feed_udf
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("L1", "Café <Central> & Co", "555-0001", 2),
+        ("L1", "stale name", "555-9999", 1),  # older version: LWW must drop it
+        ("L2", "Plain", None, 1),
+        ("L3", 'Quote"s', "555-0003", 1),
+    ]
+    df = spark.createDataFrame(rows, "listing_id string, name string, phone string, version int")
+    docs = export_xml_feed(df, n_docs=2, order_cols=["version"])
+    assert docs.count() <= 2
+
+    parsed = (
+        docs.select(F.explode(parse_xml_feed_udf("xml")).alias("l"))
+        .select("l.listing_id", "l.name", "l.phone")
+        .collect()
+    )
+    got = {(r.listing_id, r.name, r.phone) for r in parsed}
+    assert got == {
+        ("L1", "Café <Central> & Co", "555-0001"),
+        ("L2", "Plain", None),
+        ("L3", 'Quote"s', "555-0003"),
+    }

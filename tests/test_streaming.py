@@ -30,6 +30,72 @@ def test_stream_apply_matches_batch(spark, tmp_path):
     assert h_stream == h_batch
 
 
+def test_stream_apply_matches_batch_on_evolved_ledger(spark, tmp_path):
+    """Round-2 regression (ADVICE r1): a fixed current-schema file stream
+    nulls out pre-evolution columns ('lang' files read as 'language'=null).
+    The stream must map historical columns by field id, like batch reads."""
+    spec = LedgerSpec(n_urls=200, n_events=1500, n_parts=2, seed=13, evolve_at_seq=700)
+    led = generate_ledger(str(tmp_path / "changes"), spec)
+
+    batch = CdcEngine(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_batch"),
+                     batch_size=400, num_buckets=4),
+    )
+    batch.run()
+    h_batch = state_hash(batch.read_pages())
+    # sanity: the evolved column carries real values in the batch state
+    n_lang = batch.read_pages().filter("language IS NOT NULL").count()
+    assert n_lang > 0
+
+    streaming = StreamingCdcApply(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_stream"),
+                     batch_size=400, num_buckets=4),
+    )
+    streaming.run_to_completion(timeout_s=300)
+    h_stream = state_hash(streaming.engine.refresh_pages())
+    assert h_stream == h_batch
+    assert (
+        streaming.engine.read_pages().filter("language IS NOT NULL").count() == n_lang
+    )
+
+
+def test_stream_ignores_uncommitted_orphan_files(spark, tmp_path):
+    """Files in the data dir that never made a manifest commit must not be
+    applied (crashed writer's orphans)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    led = generate_ledger(str(tmp_path / "changes"), SPEC)
+    # plant an orphan parquet with a poison row the stream must not apply —
+    # sliced from a real committed file so the physical types match exactly
+    orphan_dir = os.path.join(led.path, "data", "orphan")
+    os.makedirs(orphan_dir, exist_ok=True)
+    src = os.path.join(led.path, led.manifest.files[0]["path"])
+    t = pq.read_table(src).slice(0, 1)
+    t = t.set_column(
+        t.schema.get_field_index("url"),
+        t.schema.field("url"),
+        pa.array(["http://poison.example/x"], type=t.schema.field("url").type),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("seq"),
+        t.schema.field("seq"),
+        pa.array([10**12], type=t.schema.field("seq").type),
+    )
+    pq.write_table(t, os.path.join(orphan_dir, "o.parquet"))
+
+    streaming = StreamingCdcApply(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_o"),
+                     batch_size=400, num_buckets=4),
+    )
+    streaming.run_to_completion(timeout_s=300)
+    pages = streaming.engine.refresh_pages()
+    assert pages.filter("url = 'http://poison.example/x'").count() == 0
+
+
 def test_stream_batch_retry_is_noop(spark, tmp_path):
     led = generate_ledger(str(tmp_path / "changes"), SPEC)
     eng = CdcEngine(

@@ -90,6 +90,31 @@ def main() -> int:
     ok &= audit("j6 equi-driven range join", PARITY_QUERIES["j6_range_join"](spark, sf),
                 forbid=["BroadcastNestedLoopJoin", "CartesianProduct"])
 
+    # V2 IVF: the probe pass ranks the CENTROID relation (25 rows built by
+    # posexplode+avg), not the corpus — grep for the centroid pipeline ops;
+    # the corpus scan appears only in the final pruned cell read.
+    from data_warehouse_etl_spark.functions import SIM_QUERIES
+    v2 = SIM_QUERIES["v2_knn_ivf_probed"](spark, sf)
+    ok &= audit("v2 centroid-table probe", v2,
+                want=["posexplode(", "partial_avg"],
+                forbid=["CartesianProduct"])
+
+    # MoR read path: base+delta resolution is aggregation, never Window
+    import tempfile
+    from data_warehouse_etl_spark.lake import LakeTable
+    d = tempfile.mkdtemp(prefix="plan-mor-")
+    t = LakeTable.create(os.path.join(d, "t"), [("url", "string"), ("warc_ts", "timestamp"),
+                         ("v", "bigint"), ("_seq", "bigint"), ("_deleted", "boolean")],
+                         bucket_col="url", num_buckets=2,
+                         row_key="url", version_cols=["warc_ts", "_seq"])
+    base_df = spark.createDataFrame(
+        [("a", None, 1, 1, False)],
+        "url string, warc_ts timestamp, v bigint, _seq bigint, _deleted boolean")
+    t.append(base_df)
+    t.append_deltas(base_df)
+    ok &= audit("mor resolve = agg not window", t.read(spark),
+                want=["partial_max_by"], forbid=["Window"])
+
     print("\nPLAN AUDIT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
