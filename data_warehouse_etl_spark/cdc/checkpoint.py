@@ -55,9 +55,11 @@ class CheckpointsTable:
             for batch_id, offsets in entries
             for p, s in sorted(offsets.items())
         ]
-        self.table = self.table.refresh().append(
-            spark.createDataFrame(rows, _DDL).coalesce(1)
-        )
+        # O(parts) driver-resident rows → pyarrow write + manifest commit,
+        # no Spark job (see cdc/driverio.py)
+        from .driverio import append_rows
+
+        self.table = append_rows(self.table, rows, SCHEMA)
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.table.refresh().read(spark).dropDuplicates(["batch_id", "part"])

@@ -233,6 +233,17 @@ def generate_ledger(path: str, spec: LedgerSpec) -> LakeTable:
         lo = hi
         file_no += 1
 
+    # per-part high-water marks as a table property: the engine's batch
+    # planner reads them driver-side instead of running a max(seq) Spark job
+    # over the whole ledger at the start of every run (Iceberg-style
+    # table-level stats; the generator knows them exactly)
+    import json as _json
+
+    per_part = {int(p): int(seq[part == p].max()) for p in np.unique(part)}
+    ledger.set_properties(
+        {"max_seq_per_part": _json.dumps({str(k): v for k, v in sorted(per_part.items())})}
+    )
+
     with open(marker, "w") as fh:
         fh.write(spec_str)
     return ledger

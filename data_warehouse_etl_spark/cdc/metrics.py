@@ -47,10 +47,11 @@ class MetricsTable:
         if not rows:
             return
         ordered = [tuple(r[n] for n, _ in SCHEMA) for r in rows]
-        # tiny append → one task, one file (avoid defaultParallelism fan-out)
-        self.table = self.table.refresh().append(
-            spark.createDataFrame(ordered, _DDL).coalesce(1)
-        )
+        # O(parts) driver-resident rows → pyarrow write + manifest commit,
+        # no Spark job (see cdc/driverio.py)
+        from .driverio import append_rows
+
+        self.table = append_rows(self.table, ordered, SCHEMA)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Deduped view: one row per (batch_id, part)."""
