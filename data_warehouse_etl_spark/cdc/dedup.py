@@ -82,6 +82,42 @@ def lww_dedup_auto(
     )
 
 
+def lww_dedup_broadcast_keys(
+    df: DataFrame,
+    key: str = "url",
+    order: tuple[str, ...] = ("warc_ts", "seq"),
+    mode: str = "detect",
+    n_salts: int = 16,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """LWW dedup that never shuffles the payload.
+
+    The classic reduce (``lww_dedup_auto``) shuffles FULL rows — for
+    html-carrying change events that is ~KBs per row through the exchange,
+    and map-side combine barely helps when a key's events are spread across
+    input partitions. This plan:
+
+    1. aggregates the winner per key over a (key, *order) PROJECTION —
+       tens of bytes per row through the shuffle, 10-100x less volume, with
+       the same skew modes (the projection reduces under exactly the same
+       salted/detect/plain machinery);
+    2. broadcasts the winners' globally-unique tiebreaker column
+       (``order[-1]``, the ledger seq) and left-semi-joins the original
+       rows — payload rows are filtered map-side, never exchanged.
+
+    Exact: the winner set is identical (same argmax, unique tiebreaker), so
+    the surviving rows are identical → byte-identical state. Use when the
+    winner-key set fits a broadcast (≈8 bytes/key; a 10^6-event batch is a
+    few MB). ``lww_dedup_auto`` remains for unbounded batch sizes.
+    """
+    keys = df.select(key, *order)
+    winners = lww_dedup_auto(
+        keys, key, order, mode=mode, n_salts=n_salts, hot_threshold=hot_threshold
+    )
+    tie = order[-1]
+    return df.join(F.broadcast(winners.select(tie)), tie, "left_semi")
+
+
 def lww_dedup_salted(
     df: DataFrame,
     key: str = "url",
@@ -89,6 +125,7 @@ def lww_dedup_salted(
     n_salts: int = 16,
     hot_threshold: int | None = None,
     salt_source: str = "seq",
+    detect_sample_mod: int | None = 64,
 ) -> DataFrame:
     """LWW dedup with explicit salted hot-key splitting.
 
@@ -124,7 +161,19 @@ def lww_dedup_salted(
         )
         return _max_by_all(phase1, key, order)
 
-    counts = df.groupBy(key).count().filter(F.col("count") > hot_threshold)
+    # Sampled detection: hot-or-not only needs order-of-magnitude counts, so
+    # the counting pass aggregates a deterministic 1/mod sample (hash of the
+    # unique tiebreaker — same sample at any parallelism) with the threshold
+    # scaled down 4x extra for recall. Misclassification is harmless: both
+    # the salted and the plain path are exact; only the plan shape differs.
+    counts_src = df
+    eff_threshold = hot_threshold
+    if detect_sample_mod and detect_sample_mod > 1:
+        counts_src = df.filter(
+            F.pmod(F.xxhash64(F.col(salt_source)), F.lit(detect_sample_mod)) == 0
+        )
+        eff_threshold = max(hot_threshold // (detect_sample_mod * 4), 1)
+    counts = counts_src.groupBy(key).count().filter(F.col("count") > eff_threshold)
     hot_keys = [r[key] for r in counts.collect()]
     if not hot_keys:
         return _max_by_all(df, key, order)

@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 from ..lake import LakeTable
 from . import evolve
-from .dedup import lww_dedup_auto
+from .dedup import lww_dedup_auto, lww_dedup_broadcast_keys
 from .extract import extract_text_udf, fill_lang_udf
 from .metrics import MetricsTable
 from .checkpoint import CheckpointsTable
@@ -106,6 +106,15 @@ class EngineConfig:
     #   O(batch + affected-bucket data); exact insert/update metric classes).
     # Both reach byte-identical final state (test_mor_cow_parity).
     merge_strategy: str = "mor"
+    # dedup physical plan:
+    # - "broadcast_keys" (chosen by "auto" for batch_size ≤ dedup_bcast_limit):
+    #   winner selection runs over a (url, warc_ts, seq) projection — the
+    #   shuffle carries tens of bytes/row instead of the html payload — and
+    #   winners' seqs broadcast back as a map-side semi-join filter. Payload
+    #   rows are never exchanged before the bucket write.
+    # - "full_shuffle": the classic full-row max_by reduce (any batch size).
+    dedup_plan: str = "auto"
+    dedup_bcast_limit: int = 20_000_000  # seqs; ~8B each broadcast-side
     # MoR: fold deltas into base files every N batches (0 = only on demand
     # via engine.compact()). Compaction is a pure layout change — state_hash
     # is invariant to cadence — trading a periodic O(table-with-deltas)
@@ -287,6 +296,7 @@ class CdcEngine:
             },
             timer=tm,
             parts=sorted(targets),
+            input_counts=self._dense_input_counts(cps, targets),
         )
 
         # ---- observability (buffered; authoritative offsets are in the commit)
@@ -379,38 +389,72 @@ class CdcEngine:
         v = obs.get.get(key)
         return int(v) if v is not None else 0
 
+    def _dense_input_counts(self, cps: dict[int, int], targets: dict[int, int]):
+        """Exact per-part input counts from ledger metadata, when possible.
+
+        A ledger whose writer declares ``dense_seq=modulo`` (every seq value
+        exists exactly once; part = seq % n_parts) makes events_in(p) for the
+        slice (cp_p, t_p] a closed form — no need to burn ~|parts| aggregate
+        expressions per row on the 10-100x-larger pre-dedup scan just to
+        count it. Returns None (→ observe on the scan) when the property is
+        absent or a watermark filter makes the count data-dependent.
+        """
+        props = self.ledger.manifest.properties
+        if props.get("dense_seq") != "modulo" or self.cfg.watermark_delay_s is not None:
+            return None
+        k = int(props["n_parts"])
+        return {
+            p: (t - p) // k - (cps.get(p, 0) - p) // k for p, t in targets.items()
+        }
+
     def _transform_and_merge(
         self,
         events: DataFrame,
         properties_update: dict[str, str],
         timer: _Timer | None = None,
         parts: list[int] | None = None,
+        input_counts: dict[int, int] | None = None,
     ) -> tuple[dict[int, dict], dict]:
         """Dedup + extract + apply. Returns (instats, mstats), both computed
         with ``observe()`` on the batch's own job(s) — stats never add a
         driver-barrier pass over the events (round-1 cost: 2 extra O(batch)
-        scans per batch)."""
+        scans per batch). When ``input_counts`` is given (exact counts from
+        ledger metadata, see _dense_input_counts) the pre-dedup scan carries
+        NO observation at all; per-part byte accounting then rides the
+        post-dedup survivor set (10-100x fewer rows) and reports bytes of
+        APPLIED html rather than scanned html."""
         cfg = self.cfg
         tm = timer or _Timer("apply")
         parts = parts or []
         payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
 
-        # ---- observed per-part input stats (ride the first action)
-        obs_in = Observation()
-        in_aggs = []
-        for p in parts:
-            is_p = F.col("part") == p
-            in_aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"in_{p}"))
-            in_aggs.append(
-                F.sum(
-                    F.when(is_p, F.coalesce(F.length("html"), F.lit(0))).otherwise(0)
-                ).alias(f"by_{p}")
-            )
-        if in_aggs:
-            events = events.observe(obs_in, *in_aggs)
+        # ---- per-part input stats. An events-level observe() is NOT safe
+        # here: the events subtree is evaluated by more than one action
+        # (detect-mode hot-key count, broadcast-keys winner subtree), and a
+        # Spark Observation asserts on multiple updates. Ledgers that declare
+        # dense-seq stats (input_counts) need no pass at all; others pay one
+        # explicit column-pruned pre-aggregation.
+        scanned_stats: dict[int, dict] | None = None
+        if input_counts is None and parts:
+            scanned_stats = {
+                int(r["part"]): {
+                    "events_in": int(r["events_in"]),
+                    "bytes_html": int(r["bytes_html"] or 0),
+                }
+                for r in events.groupBy("part")
+                .agg(
+                    F.count("*").alias("events_in"),
+                    F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes_html"),
+                )
+                .collect()
+            }
 
-        # ---- LWW dedup (skew-aware reduce, see cfg.skew_mode)
-        deduped = lww_dedup_auto(
+        # ---- LWW dedup (skew-aware reduce, see cfg.skew_mode / dedup_plan)
+        use_bcast = cfg.dedup_plan == "broadcast_keys" or (
+            cfg.dedup_plan == "auto" and cfg.batch_size <= cfg.dedup_bcast_limit
+        )
+        dedup_fn = lww_dedup_broadcast_keys if use_bcast else lww_dedup_auto
+        deduped = dedup_fn(
             events,
             key="url",
             order=("warc_ts", "seq"),
@@ -438,18 +482,37 @@ class CdcEngine:
 
         page_fields = [f.name for f in self.pages.manifest.current_fields]
 
+        # survivor-side byte accounting when the scan carries no observation
+        obs_bytes = Observation()
+        if input_counts is not None and parts:
+            b_aggs = [
+                F.sum(
+                    F.when(
+                        F.col("part") == p, F.coalesce(F.length("html"), F.lit(0))
+                    ).otherwise(0)
+                ).alias(f"by_{p}")
+                for p in parts
+            ]
+            enriched = enriched.observe(obs_bytes, *b_aggs)
+
         if cfg.merge_strategy == "mor":
             mstats = self._apply_mor(enriched, page_fields, properties_update, parts, tm)
         else:
             mstats = self._apply_cow(enriched, page_fields, properties_update, parts, tm)
 
-        instats = {
-            p: {
-                "events_in": self._observed(obs_in, f"in_{p}"),
-                "bytes_html": self._observed(obs_in, f"by_{p}"),
+        if input_counts is not None:
+            instats = {
+                p: {
+                    "events_in": int(input_counts.get(p, 0)),
+                    "bytes_html": self._observed(obs_bytes, f"by_{p}"),
+                }
+                for p in parts
             }
-            for p in parts
-        }
+        else:
+            instats = {
+                p: scanned_stats.get(p, {"events_in": 0, "bytes_html": 0})
+                for p in parts
+            }
         return instats, mstats
 
     def _apply_mor(

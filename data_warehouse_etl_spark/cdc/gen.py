@@ -241,7 +241,16 @@ def generate_ledger(path: str, spec: LedgerSpec) -> LakeTable:
 
     per_part = {int(p): int(seq[part == p].max()) for p in np.unique(part)}
     ledger.set_properties(
-        {"max_seq_per_part": _json.dumps({str(k): v for k, v in sorted(per_part.items())})}
+        {
+            "max_seq_per_part": _json.dumps(
+                {str(k): v for k, v in sorted(per_part.items())}
+            ),
+            # seq is dense (every value in 1..n exists once) and parts are
+            # assigned seq % n_parts — lets the engine compute exact per-part
+            # input counts in closed form instead of observing the scan
+            "dense_seq": "modulo",
+            "n_parts": str(spec.n_parts),
+        }
     )
 
     with open(marker, "w") as fh:

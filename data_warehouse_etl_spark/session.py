@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # v2 commit: task output moves once, no per-job sequential rename pass
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # dynamic-partition writes keep per-partition writers open instead of
+        # sorting every task's rows by partition key first (bucketed commit
+        # writes 16-64 partitions/task; measured -40% write wall)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "64")
+        # dictionary encoding buys nothing on unique-per-row url/html/text
+        # payloads and costs hash-probing per value on the write hot path
+        .config("spark.hadoop.parquet.enable.dictionary", "false")
         # single-host local mode: locality tiers are meaningless, and the 3s
         # default wait stalls slots whenever cached/shuffle block preferences
         # don't line up (measured: 85s → 50s on a 2-batch replay)
