@@ -293,10 +293,12 @@ Ledger: seeded synthetic Common-Crawl-style change feed (seed=42), sf={sf}:
 out-of-order, 1% hot-url skew, schema evolution at the midpoint.
 Generation: {gen_sec:.1f}s (cached across runs).
 
-End-to-end replay = ledger read -> salted LWW dedup -> pandas-UDF HTML
-extract -> merge-on-read delta commit (checkpoints in-manifest; ONE Spark
-job per batch, stats via observe()); final state read LWW-resolves
-base+delta. state_hash therefore prices the read path too.
+End-to-end replay = ledger read -> LWW winner keys (payload-free shuffle,
+broadcast semi-join back) -> pandas-UDF HTML extract -> merge-on-read delta
+commit (checkpoints in-manifest; the payload crosses one exchange per
+batch; per-part stats from ledger metadata + survivor-side observe());
+final state read LWW-resolves base+delta, so state_hash prices the read
+path too.
 
 ## Scaling pair: local[{SCALE_LOW}] vs local[{SCALE_HIGH}] (N and 4N cores), single-batch replay
 

@@ -8,9 +8,10 @@ Lifecycle per batch (SURVEY.md §3.4), merge-on-read default:
       → LWW dedup, salted hot-url two-phase reduce              [shuffle 1]
       → pandas/Arrow UDF: html → text on surviving rows only    [transform]
       → append_deltas commit: survivors land as per-bucket
-        DELTA files, offsets in the same manifest — ONE Spark
+        DELTA files, offsets in the same manifest — one payload
         job/batch, O(batch) bytes written, no old-state read    [exactly-once]
-      → per-part input/output stats ride that job via observe() [observability]
+      → per-part stats from ledger metadata (dense-seq closed
+        form) + survivor-side observe() on the same job         [observability]
       → reads LWW-resolve base+delta; compact() folds deltas
         back into base on the operator's cadence                [read path]
 
@@ -100,7 +101,8 @@ class EngineConfig:
     # - "mor" (default): merge-on-read — each batch commits its deduped rows
     #   as per-bucket DELTA files (append_deltas); no old-state read, no
     #   carried-row rewrite. Per-batch write cost is O(batch) regardless of
-    #   table size; reads LWW-resolve base+delta. ONE Spark job per batch.
+    #   table size; reads LWW-resolve base+delta. One payload job per batch
+    #   (plus a sampled key-count pass when skew_mode="detect").
     # - "cow": copy-on-write — full-outer merge against the affected buckets'
     #   current state, rewriting those buckets (per-batch cost
     #   O(batch + affected-bucket data); exact insert/update metric classes).
