@@ -82,13 +82,53 @@ def lww_dedup_auto(
     )
 
 
+def winner_seqs(
+    df: DataFrame,
+    key: str = "url",
+    order: tuple[str, ...] = ("warc_ts", "seq"),
+    hot_keys: list | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """The winning tiebreaker (``order[-1]``) per key, as cheaply as possible.
+
+    Because the LWW law is "greatest ``order`` tuple wins" and the tuple's
+    last element is globally unique, the winner is simply
+    ``max(struct(*order))`` — a plain declarative MAX over a small fixed-width
+    struct, cheaper than ``max_by`` over all columns (no separate value
+    buffer; the shuffle carries key + one small struct per map-side-combined
+    group instead of a full row copy).
+
+    ``hot_keys`` (from the engine's amortized sampled detection) take an
+    explicit salted two-phase reduce — phase 1 on (key, salt) spreads a hot
+    key over ``n_salts`` reducers, phase 2 folds the ≤ n_salts candidates —
+    while cold keys reduce single-phase. Exact at any parallelism: MAX is
+    associative/commutative and the struct order is total.
+    """
+    tie = order[-1]
+    w = F.max(F.struct(*[F.col(c) for c in order])).alias("_w")
+    keys = df.select(key, *order)
+    if not hot_keys:
+        return keys.groupBy(key).agg(w).select(F.col(f"_w.{tie}").alias(tie))
+    is_hot = F.col(key).isin(list(hot_keys))
+    cold = keys.filter(~is_hot).groupBy(key).agg(w)
+    phase1 = (
+        keys.filter(is_hot)
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(tie)), F.lit(n_salts)).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(w)
+    )
+    hot = phase1.select(key, "_w.*").groupBy(key).agg(w)
+    return cold.unionByName(hot).select(F.col(f"_w.{tie}").alias(tie))
+
+
 def lww_dedup_broadcast_keys(
     df: DataFrame,
     key: str = "url",
     order: tuple[str, ...] = ("warc_ts", "seq"),
-    mode: str = "detect",
+    mode: str = "plain",
     n_salts: int = 16,
     hot_threshold: int = 1_000_000,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """LWW dedup that never shuffles the payload.
 
@@ -97,10 +137,10 @@ def lww_dedup_broadcast_keys(
     and map-side combine barely helps when a key's events are spread across
     input partitions. This plan:
 
-    1. aggregates the winner per key over a (key, *order) PROJECTION —
-       tens of bytes per row through the shuffle, 10-100x less volume, with
-       the same skew modes (the projection reduces under exactly the same
-       salted/detect/plain machinery);
+    1. computes the winning tiebreaker per key over a (key, *order)
+       PROJECTION (:func:`winner_seqs` — tens of bytes per row through the
+       shuffle, 10-100x less volume), with explicit salted splitting for
+       ``hot_keys``;
     2. broadcasts the winners' globally-unique tiebreaker column
        (``order[-1]``, the ledger seq) and left-semi-joins the original
        rows — payload rows are filtered map-side, never exchanged.
@@ -109,13 +149,46 @@ def lww_dedup_broadcast_keys(
     the surviving rows are identical → byte-identical state. Use when the
     winner-key set fits a broadcast (≈8 bytes/key; a 10^6-event batch is a
     few MB). ``lww_dedup_auto`` remains for unbounded batch sizes.
+
+    ``mode="salted"`` forces the unconditional two-phase reduce (plan
+    independent of data); any other mode reduces single-phase except for
+    explicit ``hot_keys``. A detect-counting pass inside this function would
+    cost a full keys scan per batch; the engine instead amortizes detection
+    across batches (EngineConfig.hot_detect_every) — and single-phase is
+    already skew-tolerant here because max's map-side combine bounds any
+    key's shuffle fan-in at O(input partitions).
     """
-    keys = df.select(key, *order)
-    winners = lww_dedup_auto(
-        keys, key, order, mode=mode, n_salts=n_salts, hot_threshold=hot_threshold
-    )
     tie = order[-1]
-    return df.join(F.broadcast(winners.select(tie)), tie, "left_semi")
+    if mode == "salted":
+        keys = df.select(key, *order)
+        winners = lww_dedup_salted(keys, key, order, n_salts=n_salts, hot_threshold=None)
+        return df.join(F.broadcast(winners.select(tie)), tie, "left_semi")
+    winners = winner_seqs(df, key, order, hot_keys=hot_keys, n_salts=n_salts)
+    return df.join(F.broadcast(winners), tie, "left_semi")
+
+
+def sample_hot_keys(
+    df: DataFrame,
+    key: str = "url",
+    hot_threshold: int = 1_000_000,
+    salt_source: str = "seq",
+    detect_sample_mod: int = 64,
+) -> list:
+    """Sampled hot-key detection: keys whose (estimated) event count in
+    ``df`` exceeds ``hot_threshold``. Aggregates a deterministic 1/mod hash
+    sample of the unique tiebreaker (same sample at any parallelism), with
+    the threshold scaled down 4x extra for recall — misclassification is
+    harmless because both the salted and plain reduce paths are exact.
+    Result size is bounded by |df| / hot_threshold keys (driver-safe)."""
+    counts_src = df
+    eff_threshold = hot_threshold
+    if detect_sample_mod and detect_sample_mod > 1:
+        counts_src = df.filter(
+            F.pmod(F.xxhash64(F.col(salt_source)), F.lit(detect_sample_mod)) == 0
+        )
+        eff_threshold = max(hot_threshold // (detect_sample_mod * 4), 1)
+    counts = counts_src.groupBy(key).count().filter(F.col("count") > eff_threshold)
+    return [r[key] for r in counts.collect()]
 
 
 def lww_dedup_salted(

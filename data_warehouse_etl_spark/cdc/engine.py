@@ -55,8 +55,8 @@ from pyspark.sql import functions as F
 
 from ..lake import LakeTable
 from . import evolve
-from .dedup import lww_dedup_auto, lww_dedup_broadcast_keys
-from .extract import extract_text_udf, fill_lang_udf
+from .dedup import lww_dedup_auto, lww_dedup_broadcast_keys, sample_hot_keys
+from .extract import extract_enrich_udf, extract_text_udf
 from .metrics import MetricsTable
 from .checkpoint import CheckpointsTable
 
@@ -97,6 +97,14 @@ class EngineConfig:
     # "salted" = always two-phase, "plain" = single-phase max_by agg
     skew_mode: str = "detect"
     hot_threshold: int = 1_000_000
+    # In "detect" mode the sampled hot-key counting pass costs one keys scan
+    # per run — so it is AMORTIZED: it runs on the 2nd batch of a run and
+    # every Nth batch after, and the detected hot set is sticky in between.
+    # The first batch is safe without it: the winner reduce is a map-side-
+    # combining MAX whose per-key shuffle fan-in is bounded at O(input
+    # partitions) regardless of skew; detection only refines the plan shape
+    # (results are exact either way, so state stays byte-identical).
+    hot_detect_every: int = 16
     # apply strategy:
     # - "mor" (default): merge-on-read — each batch commits its deduped rows
     #   as per-bucket DELTA files (append_deltas); no old-state read, no
@@ -116,7 +124,17 @@ class EngineConfig:
     #   rows are never exchanged before the bucket write.
     # - "full_shuffle": the classic full-row max_by reduce (any batch size).
     dedup_plan: str = "auto"
-    dedup_bcast_limit: int = 20_000_000  # seqs; ~8B each broadcast-side
+    # max ESTIMATED winner-key count for which "auto" still picks
+    # broadcast_keys. Winner seqs broadcast at ~8B each plus hash-relation
+    # overhead, so 4M keys is a ~100MB relation on the driver and every
+    # executor — inside default memory; beyond it "auto" falls back to the
+    # full-row shuffle reduce. The estimate is the observed batch row count
+    # (ledger metadata / scanned stats — NOT cfg.batch_size, which bounds
+    # only the deterministic loop's slices) times the winners-per-row ratio
+    # learned from prior batches' survivor counts (conservative 1.0 before
+    # any history, so a first huge mostly-distinct batch can never force an
+    # oversized broadcast).
+    dedup_bcast_limit: int = 4_000_000  # estimated winner keys
     # MoR: fold deltas into base files every N batches (0 = only on demand
     # via engine.compact()). Compaction is a pure layout change — state_hash
     # is invariant to cadence — trading a periodic O(table-with-deltas)
@@ -147,6 +165,14 @@ class CdcEngine:
         self.checkpoints = CheckpointsTable.open(cfg.pages_path + "_checkpoints")
         self._pending_metrics: list[dict] = []
         self._pending_checkpoints: list[tuple[int, dict[int, int]]] = []
+        # amortized skew detection state (see EngineConfig.hot_detect_every)
+        self._hot_keys: list = []
+        self._batches_this_run: int = 0
+        # winners-per-row ratio learned from each batch's survivor counts
+        # (mstats are free); the "auto" dedup gate estimates the next batch's
+        # winner-set size as rows x ratio. Starts conservative (1.0 = assume
+        # all-distinct) so a first huge batch can never force a huge broadcast.
+        self._winner_ratio: float = 1.0
 
     # ------------------------------------------------------------------ setup
 
@@ -195,11 +221,21 @@ class CdcEngine:
         self.pages = self.pages.refresh()
         return self.read_pages()
 
+    def _ledger_stats_fresh(self) -> bool:
+        """True when the ledger writer's table-level stats are usable: a
+        ``stats_files`` stamp matching the current manifest's file count.
+        Any append after the stats were computed changes the count, so stale
+        high-water marks can never silently stop a replay short of new data
+        (they fall back to the scan instead)."""
+        props = self.ledger.manifest.properties
+        stamp = props.get("stats_files")
+        return stamp is not None and int(stamp) == len(self.ledger.manifest.files)
+
     def _ledger_max_seq_per_part(self) -> dict[int, int]:
         # fast path: table-level high-water-mark stats maintained by the
         # ledger writer (generator); falls back to a column-pruned scan
         prop = self.ledger.manifest.properties.get("max_seq_per_part")
-        if prop:
+        if prop and self._ledger_stats_fresh():
             return {int(k): int(v) for k, v in json.loads(prop).items()}
         rows = (
             self.ledger.read(self.spark)
@@ -402,7 +438,11 @@ class CdcEngine:
         absent or a watermark filter makes the count data-dependent.
         """
         props = self.ledger.manifest.properties
-        if props.get("dense_seq") != "modulo" or self.cfg.watermark_delay_s is not None:
+        if (
+            props.get("dense_seq") != "modulo"
+            or not self._ledger_stats_fresh()
+            or self.cfg.watermark_delay_s is not None
+        ):
             return None
         k = int(props["n_parts"])
         return {
@@ -451,62 +491,105 @@ class CdcEngine:
                 .collect()
             }
 
-        # ---- LWW dedup (skew-aware reduce, see cfg.skew_mode / dedup_plan)
-        use_bcast = cfg.dedup_plan == "broadcast_keys" or (
-            cfg.dedup_plan == "auto" and cfg.batch_size <= cfg.dedup_bcast_limit
+        # ---- LWW dedup (skew-aware reduce, see cfg.skew_mode / dedup_plan).
+        # "auto" gates the broadcast-keys plan on the ACTUAL batch row count
+        # when one is known (ledger metadata or the scanned stats above) —
+        # cfg.batch_size bounds the deterministic loop's slices but not an
+        # arbitrary apply_events micro-batch, and a forced broadcast of an
+        # unbounded winner set is a driver/executor OOM hazard.
+        if input_counts is not None:
+            n_rows = sum(input_counts.values())
+        elif scanned_stats is not None:
+            n_rows = sum(s["events_in"] for s in scanned_stats.values())
+        else:
+            n_rows = None
+        est_winners = (
+            n_rows * self._winner_ratio if n_rows is not None else cfg.batch_size
         )
-        dedup_fn = lww_dedup_broadcast_keys if use_bcast else lww_dedup_auto
-        deduped = dedup_fn(
-            events,
-            key="url",
-            order=("warc_ts", "seq"),
-            mode=cfg.skew_mode,
-            n_salts=cfg.salt_k,
-            hot_threshold=cfg.hot_threshold,
+        use_bcast = cfg.dedup_plan == "broadcast_keys" or (
+            cfg.dedup_plan == "auto" and est_winners <= cfg.dedup_bcast_limit
         )
 
-        # ---- transform: extract text on survivors only (Arrow-vectorized)
+        # amortized sampled hot-key detection (see EngineConfig.hot_detect_every)
+        self._batches_this_run += 1
+        if (
+            use_bcast
+            and cfg.skew_mode == "detect"
+            and self._batches_this_run >= 2
+            and (self._batches_this_run - 2) % cfg.hot_detect_every == 0
+        ):
+            self._hot_keys = sample_hot_keys(
+                events, key="url", hot_threshold=cfg.hot_threshold, salt_source="seq"
+            )
+            tm.mark("hot_key_detect")
+
+        if use_bcast:
+            deduped = lww_dedup_broadcast_keys(
+                events,
+                key="url",
+                order=("warc_ts", "seq"),
+                mode=cfg.skew_mode,
+                n_salts=cfg.salt_k,
+                hot_keys=self._hot_keys,
+            )
+        else:
+            deduped = lww_dedup_auto(
+                events,
+                key="url",
+                order=("warc_ts", "seq"),
+                mode=cfg.skew_mode,
+                n_salts=cfg.salt_k,
+                hot_threshold=cfg.hot_threshold,
+            )
+
+        # ---- transform: extract text on survivors only (Arrow-vectorized).
+        # One FUSED pandas UDF produces (text, lang) in a single Arrow round
+        # trip (see extract_enrich_udf) — chaining two scalar UDFs would ship
+        # the extracted text back to the JVM and out to a second python
+        # worker again, doubling the payload transfer per batch. Delete rows
+        # are masked JVM-side (null html / null lang in → null text/lang out),
+        # and detection runs only where the feed carries no language.
         lang_col = "language" if "language" in payload_names else "lang"
-        enriched = deduped.withColumn(
-            "text", F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
-        )
+        not_del = F.col("op") != "D"
         if lang_col in payload_names:
             src = F.col(lang_col) if cfg.lang_col_priority else F.lit(None).cast("string")
-            # fill_lang_udf = coalesce(src, detect(text)) but detection runs
-            # only on the null-lang rows (a plain coalesce evaluates the UDF
-            # on every row — no vectorized short-circuit)
-            enriched = enriched.withColumn(
-                lang_col,
-                F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(
-                    fill_lang_udf(src, F.col("text"))
-                ),
+            enriched = (
+                deduped.withColumn(
+                    "_tx",
+                    extract_enrich_udf(
+                        F.when(not_del, F.col("html")), F.when(not_del, src)
+                    ),
+                )
+                .withColumn("text", F.col("_tx.text"))
+                .withColumn(lang_col, F.col("_tx.lang"))
+                .drop("_tx")
+            )
+        else:
+            enriched = deduped.withColumn(
+                "text", F.when(not_del, extract_text_udf(F.col("html")))
             )
 
         page_fields = [f.name for f in self.pages.manifest.current_fields]
 
-        # survivor-side byte accounting when the scan carries no observation
-        obs_bytes = Observation()
-        if input_counts is not None and parts:
-            b_aggs = [
-                F.sum(
-                    F.when(
-                        F.col("part") == p, F.coalesce(F.length("html"), F.lit(0))
-                    ).otherwise(0)
-                ).alias(f"by_{p}")
-                for p in parts
-            ]
-            enriched = enriched.observe(obs_bytes, *b_aggs)
-
+        # Survivor-side byte accounting rides each apply path's own single
+        # observed action (MoR: the delta write; CoW: the merged write) —
+        # never attached to a subtree evaluated by more than one action,
+        # which a Spark Observation asserts on.
         if cfg.merge_strategy == "mor":
-            mstats = self._apply_mor(enriched, page_fields, properties_update, parts, tm)
+            mstats, bytes_by_part = self._apply_mor(
+                enriched, page_fields, properties_update, parts, tm
+            )
         else:
-            mstats = self._apply_cow(enriched, page_fields, properties_update, parts, tm)
+            mstats, bytes_by_part = self._apply_cow(
+                enriched, page_fields, properties_update, parts, tm
+            )
 
         if input_counts is not None:
+            # exact counts from ledger metadata; bytes are of APPLIED html
             instats = {
                 p: {
                     "events_in": int(input_counts.get(p, 0)),
-                    "bytes_html": self._observed(obs_bytes, f"by_{p}"),
+                    "bytes_html": bytes_by_part.get(p, 0),
                 }
                 for p in parts
             }
@@ -515,6 +598,10 @@ class CdcEngine:
                 p: scanned_stats.get(p, {"events_in": 0, "bytes_html": 0})
                 for p in parts
             }
+        # refine the winners-per-row estimate for the next batch's dedup gate
+        # (mstats classes cover exactly the batch's LWW winner rows)
+        if n_rows:
+            self._winner_ratio = min(max(sum(mstats.values()) / n_rows, 0.01), 1.0)
         return instats, mstats
 
     def _apply_mor(
@@ -524,7 +611,7 @@ class CdcEngine:
         properties_update: dict[str, str],
         parts: list[int],
         tm: _Timer,
-    ) -> dict:
+    ) -> tuple[dict, dict[int, int]]:
         """Merge-on-read apply: commit the batch's LWW survivors as delta
         files. No old-state read, no bucket discovery, no carried-row
         rewrite — ONE Spark job per batch, writing O(batch) bytes however
@@ -540,6 +627,11 @@ class CdcEngine:
             out_aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"surv_{p}"))
             out_aggs.append(
                 F.sum(F.when(is_p & (F.col("op") == "D"), 1).otherwise(0)).alias(f"del_{p}")
+            )
+            out_aggs.append(
+                F.sum(
+                    F.when(is_p, F.coalesce(F.length("html"), F.lit(0))).otherwise(0)
+                ).alias(f"by_{p}")
             )
         if out_aggs:
             enriched = enriched.observe(obs_out, *out_aggs)
@@ -560,6 +652,7 @@ class CdcEngine:
         tm.mark("dedup+extract+delta_commit")
 
         mstats: dict = {}
+        bytes_by_part: dict[int, int] = {}
         for p in parts:
             d = self._observed(obs_out, f"del_{p}")
             s = self._observed(obs_out, f"surv_{p}")
@@ -567,7 +660,8 @@ class CdcEngine:
                 mstats[(p, "upsert")] = s - d
             if d:
                 mstats[(p, "delete")] = d
-        return mstats
+            bytes_by_part[p] = self._observed(obs_out, f"by_{p}")
+        return mstats, bytes_by_part
 
     def _apply_cow(
         self,
@@ -576,7 +670,7 @@ class CdcEngine:
         properties_update: dict[str, str],
         parts: list[int],
         tm: _Timer,
-    ) -> dict:
+    ) -> tuple[dict, dict[int, int]]:
         """Copy-on-write apply: full-outer merge vs the affected buckets'
         current state, rewriting those buckets. Exact insert/update/late
         metric classes; per-batch cost O(batch + affected-bucket data)."""
@@ -632,6 +726,7 @@ class CdcEngine:
             # merge-class counts observed on the write job itself (round 1
             # ran a separate collect over a persisted copy of merged)
             klasses = ("insert", "update", "delete", "delete_absent", "late_dropped")
+            applied = F.col("_class").isin("insert", "update", "delete", "delete_absent")
             obs_m = Observation()
             m_aggs = []
             for p in parts:
@@ -642,6 +737,14 @@ class CdcEngine:
                             F.when(is_p & (F.col("_class") == k), 1).otherwise(0)
                         ).alias(f"c_{p}_{k}")
                     )
+                # applied-html bytes on the same (single-action) observation;
+                # for applied classes take_new held, so html is the new value
+                m_aggs.append(
+                    F.sum(
+                        F.when(is_p & applied, F.coalesce(F.length("html"), F.lit(0)))
+                        .otherwise(0)
+                    ).alias(f"by_{p}")
+                )
             if m_aggs:
                 merged = merged.observe(obs_m, *m_aggs)
 
@@ -657,12 +760,14 @@ class CdcEngine:
             enriched.unpersist()
 
         mstats: dict = {}
+        bytes_by_part: dict[int, int] = {}
         for p in parts:
             for k in klasses:
                 c = self._observed(obs_m, f"c_{p}_{k}")
                 if c:
                     mstats[(p, k)] = c
-        return mstats
+            bytes_by_part[p] = self._observed(obs_m, f"by_{p}")
+        return mstats, bytes_by_part
 
     def _metric_rows(
         self,

@@ -45,9 +45,47 @@ _HSPACE = re.compile(r"[ \t\r\f\v]+")
 _SPACE_AROUND_NL = re.compile(r" ?\n ?")
 _MANY_NL = re.compile(r"\n{3,}")
 
+# C-speed equivalents for the hot whitespace-normalization steps (the regex
+# forms above remain the *defining* semantics and the property tests assert
+# the fast path matches them on arbitrary inputs):
+# - _HSPACE.sub(" ", s)  ==  translate \t\r\f\v -> " ", then collapse runs of
+#   spaces (each replace pass at least halves every run; loop to fixpoint);
+# - _SPACE_AROUND_NL.sub("\n", s)  ==  replace(" \n")+replace("\n ") once no
+#   double spaces exist (regex " ?\n ?" consumes at most one space per side).
+_HSPACE_TABLE = str.maketrans({"\t": " ", "\r": " ", "\f": " ", "\v": " "})
+
 
 def extract_text_bytes(data: bytes | None) -> str | None:
     """Canonical HTML→text. Pure, deterministic, total (None/garbage safe)."""
+    if data is None:
+        return None
+    raw = bytes(data)
+    low = raw.lower()
+    # membership in lower() is a necessary condition for each (?i) pattern, so
+    # skipping the sub when absent is exact — sub is identity without a match
+    if b"<script" in low:
+        raw = _RE_SCRIPT.sub(b"", raw)
+    if b"<style" in low:
+        raw = _RE_STYLE.sub(b"", raw)
+    if b"<!--" in raw:
+        raw = _RE_COMMENT.sub(b"", raw)
+    s = raw.decode("utf-8", errors="replace")
+    s = _BLOCK_BREAK.sub("\n", s)
+    s = _ANY_TAG.sub("", s)
+    if "&" in s:
+        s = _html.unescape(s)
+    if "\t" in s or "\r" in s or "\f" in s or "\v" in s:
+        s = s.translate(_HSPACE_TABLE)
+    while "  " in s:
+        s = s.replace("  ", " ")
+    s = s.replace(" \n", "\n").replace("\n ", "\n")
+    if "\n\n\n" in s:
+        s = _MANY_NL.sub("\n\n", s)
+    return s.strip()
+
+
+def _extract_text_bytes_reference(data: bytes | None) -> str | None:
+    """The defining regex pipeline, kept verbatim for equivalence tests."""
     if data is None:
         return None
     raw = bytes(data)
@@ -102,6 +140,34 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def detect_lang_udf(text: pd.Series) -> pd.Series:
     """Scalar pandas UDF: text column → 2-letter language id ('und' unknown)."""
     return text.map(detect_lang_str)
+
+
+_ENRICH_SCHEMA = T.StructType(
+    [T.StructField("text", T.StringType()), T.StructField("lang", T.StringType())]
+)
+
+
+@F.pandas_udf(_ENRICH_SCHEMA)
+def extract_enrich_udf(html: pd.Series, lang: pd.Series) -> pd.DataFrame:
+    """Fused transform: html → (text, lang) in ONE Arrow round trip.
+
+    Chaining ``extract_text_udf`` then ``fill_lang_udf`` costs two python
+    worker hops per task and serializes the freshly-extracted text column
+    back to the JVM only to ship it to the second worker again. Fusing them
+    keeps the text in the worker: transfer in = html (+ tiny lang), transfer
+    out = text + lang. Same functions inside, so the byte-identity contract
+    is unchanged (``extract_text_bytes`` / ``detect_lang_str``).
+
+    Callers mask delete rows JVM-side (pass null html / null lang for
+    op='D'): null html → null text, and detection is masked to rows where
+    lang is null AND text is present, so deletes stay null throughout.
+    """
+    text = html.map(extract_text_bytes)
+    out_lang = lang.copy()
+    mask = lang.isna() & text.notna()
+    if mask.any():
+        out_lang.loc[mask] = text[mask].map(detect_lang_str)
+    return pd.DataFrame({"text": text, "lang": out_lang})
 
 
 @F.pandas_udf(T.StringType())

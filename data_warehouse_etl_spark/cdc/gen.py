@@ -119,7 +119,16 @@ def generate_ledger(path: str, spec: LedgerSpec) -> LakeTable:
     spec_str = repr(spec)
     if LakeTable.exists(path):
         if os.path.exists(marker) and open(marker).read() == spec_str:
-            return LakeTable.load(path)
+            cached = LakeTable.load(path)
+            # a ledger cached by an older generator may predate newer stats
+            # properties (dense_seq etc.); the data layout is identical for
+            # the same spec, so backfill the properties instead of paying a
+            # full regeneration
+            if "dense_seq" not in cached.manifest.properties or (
+                "stats_files" not in cached.manifest.properties
+            ):
+                cached = _set_stats_properties(cached, spec)
+            return cached
         LakeTable.load(path).drop()
 
     ledger = LakeTable.create(
@@ -233,26 +242,44 @@ def generate_ledger(path: str, spec: LedgerSpec) -> LakeTable:
         lo = hi
         file_no += 1
 
-    # per-part high-water marks as a table property: the engine's batch
-    # planner reads them driver-side instead of running a max(seq) Spark job
-    # over the whole ledger at the start of every run (Iceberg-style
-    # table-level stats; the generator knows them exactly)
-    import json as _json
-
-    per_part = {int(p): int(seq[part == p].max()) for p in np.unique(part)}
-    ledger.set_properties(
-        {
-            "max_seq_per_part": _json.dumps(
-                {str(k): v for k, v in sorted(per_part.items())}
-            ),
-            # seq is dense (every value in 1..n exists once) and parts are
-            # assigned seq % n_parts — lets the engine compute exact per-part
-            # input counts in closed form instead of observing the scan
-            "dense_seq": "modulo",
-            "n_parts": str(spec.n_parts),
-        }
-    )
+    # per-part high-water marks as a table property (see _set_stats_properties)
+    ledger = _set_stats_properties(ledger, spec)
 
     with open(marker, "w") as fh:
         fh.write(spec_str)
     return ledger
+
+
+def _set_stats_properties(ledger: LakeTable, spec: LedgerSpec) -> LakeTable:
+    """Write the generator's exact table-level stats as manifest properties.
+
+    The engine's batch planner reads them driver-side instead of running a
+    max(seq) Spark job over the whole ledger at the start of every run
+    (Iceberg-style table-level stats; the generator knows them exactly):
+
+    - ``max_seq_per_part``: per-part high-water marks;
+    - ``dense_seq=modulo`` + ``n_parts``: seq is dense (every value in 1..n
+      exists once) and parts are assigned seq % n_parts — lets the engine
+      compute exact per-part input counts in closed form instead of
+      observing the scan;
+    - ``stats_files``: the manifest file count these stats were computed at.
+      Any later append changes the count, and the engine falls back to the
+      scan when it no longer matches — stale high-water marks must never
+      silently stop a replay short.
+    """
+    import json as _json
+
+    n = spec.n_events
+    seq = np.arange(1, n + 1, dtype=np.int64)
+    part = (seq % spec.n_parts).astype(np.int32)
+    per_part = {int(p): int(seq[part == p].max()) for p in np.unique(part)}
+    return ledger.set_properties(
+        {
+            "max_seq_per_part": _json.dumps(
+                {str(k): v for k, v in sorted(per_part.items())}
+            ),
+            "dense_seq": "modulo",
+            "n_parts": str(spec.n_parts),
+            "stats_files": str(len(ledger.manifest.files)),
+        }
+    )
