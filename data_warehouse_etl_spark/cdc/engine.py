@@ -63,6 +63,7 @@ from .checkpoint import CheckpointsTable
 INTERNAL_COLS = ("_seq", "_deleted")
 CHECKPOINTS_PROP = "checkpoints"
 BATCH_PROP = "last_batch_id"
+WM_PROP = "wm_high"  # committed event-time high-water-mark (monotone watermark)
 
 _TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1"
 
@@ -138,10 +139,22 @@ class EngineConfig:
     # MoR: fold deltas into base files every N batches (0 = only on demand
     # via engine.compact()). Compaction is a pure layout change — state_hash
     # is invariant to cadence — trading a periodic O(table-with-deltas)
-    # rewrite for bounded read amplification. At 10^10 events pick N so
-    # deltas-per-bucket stays ~tens (see SCALE.md).
-    compact_every_batches: int = 0
-    watermark_delay_s: int | None = None  # drop events older than max(warc_ts)-delay
+    # rewrite for bounded read amplification. Default 32 keeps deltas-per-
+    # bucket at ~tens (SCALE.md): a production tail that never calls
+    # compact() must not accumulate unbounded read amplification. The
+    # per-batch `max_deltas_per_bucket` metric tracks it.
+    compact_every_batches: int = 32
+    watermark_delay_s: int | None = None  # drop events older than watermark-delay
+    # how the watermark high-water-mark is obtained:
+    # - "monotone" (default): cutoff = (max warc_ts observed in PRIOR
+    #   batches) - delay, exactly Structured Streaming's own law (the
+    #   watermark advances one trigger behind event time). The max rides the
+    #   apply job's observation — ZERO extra passes — and is committed in
+    #   the manifest, so a cold resume restores the same cutoffs
+    #   deterministically. The first batch of a fresh table is unfiltered.
+    # - "batch_exact": cutoff = max(warc_ts) of the CURRENT batch - delay;
+    #   requires one extra pre-aggregated pass over the batch per batch.
+    watermark_mode: str = "monotone"
     lang_col_priority: bool = True  # trust feed lang; detect only when absent
     # flush the observational metrics/checkpoints mirror tables every N
     # batches (and at end of run). The authoritative offsets are inside the
@@ -173,6 +186,11 @@ class CdcEngine:
         # winner-set size as rows x ratio. Starts conservative (1.0 = assume
         # all-distinct) so a first huge batch can never force a huge broadcast.
         self._winner_ratio: float = 1.0
+        # monotone-watermark state: max event time observed by committed
+        # batches but not yet persisted (it is written into the NEXT commit's
+        # properties, so the cutoff depends only on committed state and a
+        # cold resume replays the identical cutoffs)
+        self._wm_pending = None
 
     # ------------------------------------------------------------------ setup
 
@@ -313,14 +331,7 @@ class CdcEngine:
         raw = self.ledger.read(self.spark, file_filter=overlaps)
         events = raw.filter(self._batch_predicate(cps, targets))
 
-        if cfg.watermark_delay_s is not None:
-            # the cutoff value must exist BEFORE the pipeline runs, so the
-            # watermark costs one extra (pre-aggregated) pass when enabled;
-            # all other per-batch stats ride the batch's own job via observe()
-            wm = events.agg(F.max("warc_ts").alias("m")).collect()[0]["m"]
-            if wm is not None:
-                cutoff = F.lit(wm) - F.expr(f"INTERVAL {cfg.watermark_delay_s} SECONDS")
-                events = events.filter(F.col("warc_ts") >= cutoff)
+        events = self._apply_watermark(events)
 
         tm = _Timer(f"batch{batch_id}")
         # ---- transform + apply + atomic commit (input/output stats observed
@@ -367,23 +378,14 @@ class CdcEngine:
         self.pages = evolve.sync_schema(self.ledger, self.pages)
         # same late-data law as the batch loop (a withWatermark on a
         # foreachBatch sink is a no-op — the filter must run here)
-        if self.cfg.watermark_delay_s is not None:
-            wm = events.agg(F.max("warc_ts").alias("m")).collect()[0]["m"]
-            if wm is not None:
-                cutoff = F.lit(wm) - F.expr(
-                    f"INTERVAL {self.cfg.watermark_delay_s} SECONDS"
-                )
-                events = events.filter(F.col("warc_ts") >= cutoff)
-        # arbitrary DF: the part set is unknown upfront, so one counting
-        # pass here (the deterministic batch loop avoids it via targets)
-        parts = sorted(
-            int(r["part"]) for r in events.select("part").distinct().collect()
-        )
+        events = self._apply_watermark(events)
         props = {}
         if stream_batch_id is not None:
             props["last_stream_batch_id"] = str(stream_batch_id)
+        # parts=None: the part set rides the same per-part counting pass the
+        # input stats need anyway (one pass, not a separate distinct())
         instats, mstats = self._transform_and_merge(
-            events, properties_update=props, parts=parts
+            events, properties_update=props, parts=None
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
         label = stream_batch_id if stream_batch_id is not None else self.last_batch_id()
@@ -427,6 +429,30 @@ class CdcEngine:
         v = obs.get.get(key)
         return int(v) if v is not None else 0
 
+    def _committed_wm(self):
+        import datetime as _dt
+
+        raw = self.pages.manifest.properties.get(WM_PROP)
+        return _dt.datetime.fromisoformat(raw) if raw else None
+
+    def _apply_watermark(self, events: DataFrame) -> DataFrame:
+        """Late-data filter. ``monotone`` mode (default) uses the committed
+        event-time high-water-mark — Structured Streaming's own law, zero
+        extra passes (the max rides the apply job's observation and is
+        persisted in the following commit). ``batch_exact`` pays one
+        pre-aggregated pass for a current-batch cutoff."""
+        cfg = self.cfg
+        if cfg.watermark_delay_s is None:
+            return events
+        if cfg.watermark_mode == "batch_exact":
+            wm = events.agg(F.max("warc_ts").alias("m")).collect()[0]["m"]
+        else:
+            wm = self._committed_wm()
+        if wm is None:
+            return events
+        cutoff = F.lit(wm) - F.expr(f"INTERVAL {cfg.watermark_delay_s} SECONDS")
+        return events.filter(F.col("warc_ts") >= cutoff)
+
     def _dense_input_counts(self, cps: dict[int, int], targets: dict[int, int]):
         """Exact per-part input counts from ledger metadata, when possible.
 
@@ -467,7 +493,6 @@ class CdcEngine:
         APPLIED html rather than scanned html."""
         cfg = self.cfg
         tm = timer or _Timer("apply")
-        parts = parts or []
         payload_names = [f.name for f in evolve.payload_fields(self.ledger)]
 
         # ---- per-part input stats. An events-level observe() is NOT safe
@@ -475,9 +500,11 @@ class CdcEngine:
         # (detect-mode hot-key count, broadcast-keys winner subtree), and a
         # Spark Observation asserts on multiple updates. Ledgers that declare
         # dense-seq stats (input_counts) need no pass at all; others pay one
-        # explicit column-pruned pre-aggregation.
+        # explicit column-pruned pre-aggregation — which also yields the part
+        # set when the caller doesn't know it upfront (parts=None: streaming
+        # micro-batches of arbitrary composition).
         scanned_stats: dict[int, dict] | None = None
-        if input_counts is None and parts:
+        if input_counts is None and (parts or parts is None):
             scanned_stats = {
                 int(r["part"]): {
                     "events_in": int(r["events_in"]),
@@ -490,6 +517,9 @@ class CdcEngine:
                 )
                 .collect()
             }
+            if parts is None:
+                parts = sorted(scanned_stats)
+        parts = parts or []
 
         # ---- LWW dedup (skew-aware reduce, see cfg.skew_mode / dedup_plan).
         # "auto" gates the broadcast-keys plan on the ACTUAL batch row count
@@ -571,6 +601,10 @@ class CdcEngine:
 
         page_fields = [f.name for f in self.pages.manifest.current_fields]
 
+        self._wm_track = (
+            cfg.watermark_delay_s is not None and cfg.watermark_mode == "monotone"
+        )
+
         # Survivor-side byte accounting rides each apply path's own single
         # observed action (MoR: the delta write; CoW: the merged write) —
         # never attached to a subtree evaluated by more than one action,
@@ -602,6 +636,18 @@ class CdcEngine:
         # (mstats classes cover exactly the batch's LWW winner rows)
         if n_rows:
             self._winner_ratio = min(max(sum(mstats.values()) / n_rows, 0.01), 1.0)
+        # monotone watermark: persist the event-time high-water-mark observed
+        # on the apply job as a driver-side property commit (manifest write,
+        # no Spark job). The NEXT batch's cutoff reads only committed state,
+        # so a cold resume replays identical cutoffs. A crash in this tiny
+        # window merely relaxes one batch's cutoff (fewer late drops) —
+        # data exactly-once is untouched.
+        if self._wm_track and self._wm_pending is not None:
+            committed = self._committed_wm()
+            if committed is None or self._wm_pending > committed:
+                self.pages = self.pages.set_properties(
+                    {WM_PROP: self._wm_pending.isoformat()}
+                )
         return instats, mstats
 
     def _apply_mor(
@@ -621,18 +667,30 @@ class CdcEngine:
         split (MoR never looks at old state; metrics report ``upsert``)."""
         cfg = self.cfg
         obs_out = Observation()
+        # one F.expr per aggregate: building these ~3x|parts| conditional
+        # sums out of Column operators costs ~15 py4j round trips EACH —
+        # measured ~1s of pure driver time per batch at 32 parts
         out_aggs = []
         for p in parts:
-            is_p = F.col("part") == p
-            out_aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"surv_{p}"))
             out_aggs.append(
-                F.sum(F.when(is_p & (F.col("op") == "D"), 1).otherwise(0)).alias(f"del_{p}")
+                F.expr(f"sum(case when part = {p} then 1 else 0 end) as surv_{p}")
             )
             out_aggs.append(
-                F.sum(
-                    F.when(is_p, F.coalesce(F.length("html"), F.lit(0))).otherwise(0)
-                ).alias(f"by_{p}")
+                F.expr(
+                    f"sum(case when part = {p} and op = 'D' then 1 else 0 end) as del_{p}"
+                )
             )
+            out_aggs.append(
+                F.expr(
+                    f"sum(case when part = {p} then coalesce(length(html), 0) "
+                    f"else 0 end) as by_{p}"
+                )
+            )
+        if getattr(self, "_wm_track", False):
+            # the batch's max event time survives dedup (the globally newest
+            # event always wins its key), so observing it on the survivor set
+            # equals the batch max — no pre-pass needed
+            out_aggs.append(F.expr("max(warc_ts) as wm_max"))
         if out_aggs:
             enriched = enriched.observe(obs_out, *out_aggs)
 
@@ -661,7 +719,12 @@ class CdcEngine:
             if d:
                 mstats[(p, "delete")] = d
             bytes_by_part[p] = self._observed(obs_out, f"by_{p}")
+        self._note_wm(obs_out.get.get("wm_max") if out_aggs else None)
         return mstats, bytes_by_part
+
+    def _note_wm(self, wm) -> None:
+        if wm is not None and (self._wm_pending is None or wm > self._wm_pending):
+            self._wm_pending = wm
 
     def _apply_cow(
         self,
@@ -726,24 +789,32 @@ class CdcEngine:
             # merge-class counts observed on the write job itself (round 1
             # ran a separate collect over a persisted copy of merged)
             klasses = ("insert", "update", "delete", "delete_absent", "late_dropped")
-            applied = F.col("_class").isin("insert", "update", "delete", "delete_absent")
+            applied_sql = "_class IN ('insert', 'update', 'delete', 'delete_absent')"
             obs_m = Observation()
             m_aggs = []
             for p in parts:
-                is_p = F.col("_part") == p
                 for k in klasses:
                     m_aggs.append(
-                        F.sum(
-                            F.when(is_p & (F.col("_class") == k), 1).otherwise(0)
-                        ).alias(f"c_{p}_{k}")
+                        F.expr(
+                            f"sum(case when _part = {p} and _class = '{k}' "
+                            f"then 1 else 0 end) as c_{p}_{k}"
+                        )
                     )
                 # applied-html bytes on the same (single-action) observation;
                 # for applied classes take_new held, so html is the new value
                 m_aggs.append(
-                    F.sum(
-                        F.when(is_p & applied, F.coalesce(F.length("html"), F.lit(0)))
-                        .otherwise(0)
-                    ).alias(f"by_{p}")
+                    F.expr(
+                        f"sum(case when _part = {p} and {applied_sql} "
+                        f"then coalesce(length(html), 0) else 0 end) as by_{p}"
+                    )
+                )
+            if getattr(self, "_wm_track", False):
+                # event-time max over the batch's applied rows (carried old
+                # rows excluded so the watermark tracks ingested event time)
+                m_aggs.append(
+                    F.expr(
+                        "max(case when _class <> 'carry' then warc_ts end) as wm_max"
+                    )
                 )
             if m_aggs:
                 merged = merged.observe(obs_m, *m_aggs)
@@ -767,6 +838,7 @@ class CdcEngine:
                 if c:
                     mstats[(p, k)] = c
             bytes_by_part[p] = self._observed(obs_m, f"by_{p}")
+        self._note_wm(obs_m.get.get("wm_max") if m_aggs else None)
         return mstats, bytes_by_part
 
     def _metric_rows(
@@ -780,6 +852,7 @@ class CdcEngine:
         survivors_by_part: dict[int, int] = {}
         for (p, k), c in mstats.items():
             survivors_by_part[p] = survivors_by_part.get(p, 0) + c
+        read_amp = self.read_amplification()
         rows = []
         for p in parts:
             ev_in = int(instats.get(p, {"events_in": 0})["events_in"] or 0)
@@ -800,6 +873,17 @@ class CdcEngine:
                     "bytes_html": by,
                     "wall_ms": wall_ms,
                     "events_per_sec": (ev_in / (wall_ms / 1000.0)) if wall_ms else 0.0,
+                    "max_deltas_per_bucket": read_amp,
                 }
             )
         return rows
+
+    def read_amplification(self) -> int:
+        """Max MoR delta files stacked on any one bucket (driver-side
+        manifest count — the metric `compact_every_batches` bounds)."""
+        per_bucket: dict[int, int] = {}
+        for f in self.pages.manifest.files:
+            if f.get("kind", "base") == "delta":
+                b = f["bucket"]
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+        return max(per_bucket.values(), default=0)

@@ -29,6 +29,9 @@ SCHEMA = [
     ("bytes_html", "bigint"),
     ("wall_ms", "bigint"),
     ("events_per_sec", "double"),
+    # read amplification at commit time: max delta files stacked on any one
+    # bucket (MoR reads resolve base+deltas; compaction folds them back)
+    ("max_deltas_per_bucket", "bigint"),
 ]
 _DDL = ", ".join(f"{n} {t}" for n, t in SCHEMA)
 

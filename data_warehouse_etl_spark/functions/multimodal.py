@@ -3,10 +3,12 @@ with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side machinery — schema, partitioning, UDF signatures, batch
-shapes — is real and tested; the media *decode* itself is stubbed behind
-``_decode_image`` (the codec libraries are not in this container), clearly
-marked and swappable: a deployment installs pillow/av and replaces one
-function. The reference's closest analog is its photo-count JSON pipeline
+shapes — is real and tested. The decode itself: **PNG is decoded for real**
+(pure stdlib inflate + scanline defilter, :func:`decode_png` — golden-pixel
+tested); other codecs (JPEG/audio/video) need libraries this container
+cannot install and fall back to a clearly-marked deterministic stub inside
+``_decode_image`` — a deployment installs pillow/av and replaces that one
+branch. The reference's closest analog is its photo-count JSON pipeline
 (``/root/reference/Photos/makeit.rb:9-25``) — media handled as opaque blobs
 plus extracted tabular metadata.
 
@@ -21,6 +23,8 @@ Design points for 100 TB:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,13 +55,98 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(content: bytes) -> list[float]:
-    """STUB — real deployments replace this with a pillow/torchvision decode.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    Deterministic fake: an 8-bucket byte histogram, normalized. Keeps every
-    downstream contract (shape, dtype, determinism) honest without codec
-    libraries in the container.
-    """
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode in pure stdlib python (struct + zlib): 8-bit-depth,
+    non-interlaced grayscale / gray+alpha / RGB / RGBA, all five scanline
+    filters (None/Sub/Up/Average/Paeth per the PNG spec §9). Returns
+    (width, height, channels, raw pixel bytes row-major).
+
+    The container has no codec libraries (pillow/av are not installable),
+    so this is the honest real-decode path: PNG needs only DEFLATE, which
+    the stdlib provides. JPEG/audio/video remain stubbed in
+    :func:`_decode_image`'s fallback. Raises ValueError on non-PNG or
+    unsupported variants (16-bit, palette, interlaced)."""
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise ValueError("unsupported PNG variant")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated pixel data")
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _ in range(h):
+        f = raw[i]
+        i += 1
+        line = bytearray(raw[i : i + stride])
+        i += stride
+        if f == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad filter byte {f}")
+        out += line
+        prev = line
+    return w, h, nch, bytes(out)
+
+
+def _decode_image(content: bytes) -> list[float]:
+    """Image → fixed small feature vector.
+
+    PNG: REAL decode (:func:`decode_png`) → [width, height, channels,
+    mean_ch0..mean_chN] with means rounded to 6 places (deterministic at any
+    parallelism). Other formats: deterministic 8-bucket byte-histogram
+    fallback — STUB, clearly marked; a deployment with pillow/av swaps this
+    branch for a real decode of the remaining codecs."""
+    if content and content.startswith(_PNG_MAGIC):
+        try:
+            w, h, nch, px = decode_png(content)
+            means = []
+            npix = w * h
+            for c in range(nch):
+                means.append(round(sum(px[c::nch]) / (255.0 * npix), 6))
+            return [float(w), float(h), float(nch)] + means
+        except (ValueError, zlib.error, struct.error):
+            pass  # malformed PNG → histogram fallback below
     if not content:
         return [0.0] * 8
     hist = [0] * 8

@@ -24,6 +24,9 @@ IEEE result; outputs are additionally rounded to 6 places.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _QUERY_VEC_ID = 0  # the probe vector: deterministic, part of the query definition
@@ -128,16 +131,108 @@ def _knn_ivf_sql(emb: str, cos, centroids_cte: str) -> str:
     """
 
 
-def q_knn_ivf_probed(spark, sf):
-    """IVF-style ANN with a real centroid relation: per-label mean vectors
-    (25 rows) are the probe set; the query ranks centroids against the probe
-    vector, keeps the 2 closest cells, and scans only those cells for the
-    final top-10. Cell assignment = `label` mirrors an IVF coarse quantizer;
-    at scale `centroids` is precomputed and the cell scan is
-    partition-pruned (label in the partition spec)."""
-    return _run(
-        spark, sf, _knn_ivf_sql("embeddings_v", _cos_spark, _centroids_spark("embeddings_v"))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ivf_index_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(_REPO_ROOT, ".bench", f"ivf_index_{tag}")
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None, force: bool = False
+) -> str:
+    """Materialize the IVF coarse index ONCE (round 3 — VERDICT r2 item 3):
+
+    - ``centroids/``: one mean vector per cell (the same ROUND(AVG)
+      construction as the inline oracle SQL, so results stay value-identical);
+    - ``cells/``: the corpus REWRITTEN ``partitionBy(label)`` — cell id in
+      the partition spec, so a probed-cell scan is file-pruned (Spark reads
+      only the probed labels' directories: ``PartitionFilters`` in the plan).
+
+    This is the reference's materialized-staging idiom
+    (``/root/reference/Sql Scripts/STG_REST_P_ANALYSIS.sql:6-40``): repeated
+    ANN queries probe a small maintained relation instead of paying a corpus
+    scan per query. Idempotent via a source-mtime marker; ``force`` rebuilds
+    (the maintenance story at scale is incremental upsert of changed cells
+    through the CDC engine's lake machinery)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    index_dir = index_dir or ivf_index_dir(sf_dir)
+    marker = os.path.join(index_dir, "_built_from.txt")
+    stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src):.0f}"
+    if not force and os.path.exists(marker) and open(marker).read() == stamp:
+        return index_dir
+    emb = spark.read.parquet(src)
+    emb.createOrReplaceTempView("ivf_build_src_v")
+    cents = spark.sql(
+        "WITH " + _centroids_spark("ivf_build_src_v").strip() + " SELECT label, cv FROM centroids"
     )
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    emb.write.mode("overwrite").partitionBy("label").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return index_dir
+
+
+def ivf_probed_cells_df(spark, sf_dir: str, n_probe: int = 2):
+    """Rank the centroid relation against the probe vector; top ``n_probe``
+    cells. O(|cells|) rows — the relation IS the small probe set."""
+    idx = build_ivf_index(spark, sf_dir)
+    spark.read.parquet(os.path.join(idx, "centroids")).createOrReplaceTempView(
+        "ivf_centroids_v"
+    )
+    q_sql = (
+        f"SELECT embedding AS qv FROM parquet.`{os.path.join(sf_dir, 'embeddings.parquet')}` "
+        f"WHERE vec_id = {_QUERY_VEC_ID}"
+    )
+    return spark.sql(
+        f"""
+        WITH q AS ({q_sql})
+        SELECT c.label FROM ivf_centroids_v c CROSS JOIN q
+        ORDER BY {_cos_spark("c.cv", "q.qv")} DESC, c.label ASC LIMIT {n_probe}
+        """
+    )
+
+
+def ivf_cell_scan_df(spark, sf_dir: str, labels: list[int]):
+    """The pruned second pass: scan ONLY the probed cells of the
+    partitioned-by-label index layout. The literal IN over the partition
+    column is a static partition prune — ``.explain`` shows
+    ``PartitionFilters: [label IN (...)]`` and only those directories'
+    files are read (asserted in tests/test_ivf_index.py)."""
+    idx = build_ivf_index(spark, sf_dir)
+    spark.read.parquet(os.path.join(idx, "cells")).createOrReplaceTempView(
+        "ivf_cells_v"
+    )
+    in_list = ", ".join(str(int(x)) for x in labels)
+    q_sql = (
+        f"SELECT embedding AS qv FROM parquet.`{os.path.join(sf_dir, 'embeddings.parquet')}` "
+        f"WHERE vec_id = {_QUERY_VEC_ID}"
+    )
+    return spark.sql(
+        f"""
+        WITH q AS ({q_sql})
+        SELECT e.vec_id, CAST(e.label AS INT) AS label,
+               ROUND({_cos_spark("e.embedding", "q.qv")}, 6) AS cosine
+        FROM ivf_cells_v e CROSS JOIN q
+        WHERE e.label IN ({in_list}) AND e.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY {_cos_spark("e.embedding", "q.qv")} DESC, e.vec_id ASC
+        LIMIT 10
+        """
+    )
+
+
+def q_knn_ivf_probed(spark, sf):
+    """IVF ANN against the MATERIALIZED index (round 3): the probe pass
+    ranks the 25-row centroid table (not the corpus), the tiny probed-cell
+    set (O(n_probe) ids, collected driver-side by construction) becomes a
+    literal partition filter, and the second pass reads only the probed
+    cells' files. Values are identical to the self-contained inline form the
+    DuckDB oracle runs (the index build uses the same ROUND(AVG) SQL)."""
+    labels = [int(r["label"]) for r in ivf_probed_cells_df(spark, sf).collect()]
+    return ivf_cell_scan_df(spark, sf, labels)
 
 
 # The synthetic corpus has no true duplicates (max same-label cosine ≈ 0.47

@@ -433,8 +433,21 @@ class LakeTable:
                 except OSError:
                     continue  # holder released between EEXIST and stat; retry
                 if age > LakeTable._LOCK_STALE_S:
+                    # Break a crashed committer's lock by atomic RENAME, not
+                    # unlink: two committers may both observe the lock as
+                    # stale, and with unlink the second could remove the
+                    # first breaker's freshly-created lock between its create
+                    # and its commit — letting both into the critical
+                    # section. rename() is atomic and succeeds for exactly
+                    # one breaker; the loser sees ENOENT (or the winner's
+                    # fresh lock on the next iteration) and raises.
+                    stale = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
                     try:
-                        os.unlink(lock)  # break a crashed committer's lock
+                        os.rename(lock, stale)
+                    except OSError:
+                        continue  # someone else stole the break; re-examine
+                    try:
+                        os.unlink(stale)
                     except OSError:
                         pass
                     continue

@@ -82,7 +82,24 @@ def render_xml_feed_udf(listings: pd.Series) -> pd.Series:
     return listings.map(render)
 
 
-def export_xml_feed(df: DataFrame, n_docs: int = 16, order_cols: list[str] | None = None) -> DataFrame:
+def validate_feed_keyrefs(listings: DataFrame, coupons: DataFrame) -> DataFrame:
+    """XSD keyref analog: every coupon must reference an exported listing
+    (``/root/reference/BookingRestaurantFeed_XSD_v1.xsd:28-36`` couples
+    coupon ``RestaurantIds`` to listing ids with ``xs:keyref``). Enforced
+    relationally: returns the DANGLING coupons via a left-anti join — empty
+    iff the feed validates. One broadcast-able join on listing_id; at
+    100 TB the listing side is the dimension, so this is a map-side probe."""
+    return coupons.join(
+        listings.select("listing_id").distinct(), "listing_id", "left_anti"
+    )
+
+
+def export_xml_feed(
+    df: DataFrame,
+    n_docs: int = 16,
+    order_cols: list[str] | None = None,
+    coupons: DataFrame | None = None,
+) -> DataFrame:
     """Feed *production* (the reference emits Bing/Google/Booking feeds, not
     just consumes them — ``bing-local-79.xml``, ``BingFeedsEU1.xml``): turn a
     listings DataFrame into ``n_docs`` XML documents with the XSD's
@@ -93,7 +110,20 @@ def export_xml_feed(df: DataFrame, n_docs: int = 16, order_cols: list[str] | Non
     ``pmod(xxhash64(listing_id), n_docs)`` — deterministic, and each
     document builds from one aggregation group, so document size is bounded
     by sizing n_docs to the listing count (at 100 TB: n_docs ∝ |listings|,
-    one shuffle, no driver collect)."""
+    one shuffle, no driver collect).
+
+    ``coupons`` (optional): a coupon table whose ``listing_id`` column must
+    reference an exported listing — the XSD's ``xs:keyref`` constraint
+    (``BookingRestaurantFeed_XSD_v1.xsd:28-36``). Dangling references fail
+    the export with a ValueError naming offenders (bounded sample), the
+    relational analog of schema validation rejecting the document."""
+    if coupons is not None:
+        bad = validate_feed_keyrefs(df, coupons).limit(5).collect()
+        if bad:
+            refs = sorted({str(r["listing_id"]) for r in bad})
+            raise ValueError(
+                f"feed keyref violation: coupons reference unknown listing ids {refs}"
+            )
     value_cols = [c for c in df.columns if c != "listing_id"]
     order_cols = order_cols or value_cols
     uniq = (

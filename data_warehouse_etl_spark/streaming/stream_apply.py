@@ -16,9 +16,20 @@ Manifest-faithful streaming (the two hazards of a naive file stream):
    id (newest first) — the streaming analog of ``LakeTable.read``'s
    field-id mapping.
 2. **Uncommitted files.** The data directory may contain files that never
-   made a manifest commit (crashed writer's orphans). Each micro-batch is
-   filtered to paths present in the ledger manifest (refreshed per batch),
-   so orphans are consumed-and-dropped, never applied.
+   made a manifest commit — a crashed writer's orphans, or (the common,
+   *transient* case) a live writer's files observed in the gap between its
+   parquet write and its manifest commit. The file-stream source marks every
+   file it reads as consumed, so simply dropping uncommitted rows would lose
+   them forever once their commit lands. Each micro-batch therefore
+   **defers** them instead: uncommitted file paths are recorded in a sidecar
+   under the stream checkpoint directory, and every subsequent micro-batch
+   re-reads any deferred file that has since appeared in the manifest and
+   applies its rows together with the batch's own committed rows. Files that
+   never get committed are never applied (true orphans just sit in the
+   sidecar). Crash safety: the sidecar is written only after the engine's
+   atomic commit; a crash in between re-applies the deferred rows in the
+   next batch, which is harmless because the LWW merge is idempotent —
+   re-upserting identical (url, warc_ts, seq) rows cannot change the argmax.
 
 Late data: a ``withWatermark`` on a ``foreachBatch`` sink with no stateful
 aggregation is a no-op, so the watermark law is enforced inside
@@ -36,6 +47,7 @@ table → checkpointLocation + in-manifest offsets.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,25 +104,76 @@ class StreamingCdcApply:
             cols.append(src.cast(_spark_type(f.type)).alias(f.name))
         return df.select(*cols)
 
+    # ------------------------------------------------- deferred-file sidecar
+
+    @property
+    def _deferred_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "deferred_files.json")
+
+    def _load_deferred(self) -> list[str]:
+        try:
+            with open(self._deferred_path) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return []
+
+    def _save_deferred(self, paths: list[str]) -> None:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = self._deferred_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(paths), fh)
+        os.replace(tmp, self._deferred_path)
+
     # ------------------------------------------------------------ the sink
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # refresh the manifest and drop rows from files that never made a
-        # commit (orphans); then map historical columns to the current schema
+        # refresh the manifest; split this batch's rows into committed files
+        # (apply now) vs not-yet-committed files (defer — the source has
+        # already marked them consumed, so dropping them would be silent
+        # permanent loss when their manifest commit lands a moment later)
         self.engine.ledger = self.engine.ledger.refresh()
         committed = {
             os.path.join(self.engine.ledger.path, f["path"])
             for f in self.engine.ledger.manifest.files
         }
+        committed_uris = [f"file://{p}" for p in committed] + list(committed)
         batch_df = batch_df.withColumn("_src", F.input_file_name())
-        batch_df = batch_df.filter(
-            F.col("_src").isin([f"file://{p}" for p in committed] + list(committed))
-        ).drop("_src")
-        events = self._field_id_mapping(batch_df)
+        # deferred files from earlier batches whose commit has since landed
+        deferred = self._load_deferred()
+        ready = [p for p in deferred if p in committed]
+        still_deferred = [p for p in deferred if p not in committed]
+        # uncommitted files by driver-side directory-vs-manifest diff —
+        # O(|files|) listing, no extra scan over the batch's rows. This may
+        # defer a file the source has not consumed yet (it will also deliver
+        # it normally later); the resulting double-apply is a no-op because
+        # the LWW argmax over identical rows is idempotent.
+        data_dir = os.path.join(self.engine.ledger.path, "data")
+        on_disk = {
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(data_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        }
+        new_orphans = sorted(on_disk - committed - set(still_deferred))
+
+        events = self._field_id_mapping(
+            batch_df.filter(F.col("_src").isin(committed_uris)).drop("_src")
+        )
+        if ready:
+            # re-read now-committed deferred files under the same superset
+            # schema + field-id mapping the stream itself uses
+            replay = self.spark.read.schema(self._superset_schema()).parquet(*ready)
+            events = events.unionByName(self._field_id_mapping(replay))
+
         # Same merge path as the batch engine; the stream batch id is
         # committed atomically with the data so a foreachBatch retry of an
-        # already-committed micro-batch short-circuits (exactly-once).
-        self.engine.apply_events(events, stream_batch_id=batch_id)
+        # already-committed micro-batch short-circuits (exactly-once). The
+        # sidecar updates only after a real commit: a crash between commit
+        # and sidecar write re-applies `ready` next batch, which the LWW
+        # merge makes a no-op (idempotent argmax on identical rows).
+        applied = self.engine.apply_events(events, stream_batch_id=batch_id)
+        if applied or not os.path.exists(self._deferred_path):
+            self._save_deferred(still_deferred + new_orphans)
 
     def start(self, available_now: bool = True):
         ledger_glob = os.path.join(self.cfg.ledger_path, "data")
@@ -128,8 +191,28 @@ class StreamingCdcApply:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def drain_deferred(self) -> int:
+        """Apply any deferred files whose manifest commit has since landed
+        WITHOUT waiting for a next micro-batch (an availableNow drain ends
+        when the source is empty, so a commit that lands after the last
+        batch would otherwise wait for the next stream run). Returns the
+        number of files applied. Idempotent (LWW argmax)."""
+        self.engine.ledger = self.engine.ledger.refresh()
+        committed = {
+            os.path.join(self.engine.ledger.path, f["path"])
+            for f in self.engine.ledger.manifest.files
+        }
+        deferred = self._load_deferred()
+        ready = [p for p in deferred if p in committed]
+        if ready:
+            replay = self.spark.read.schema(self._superset_schema()).parquet(*ready)
+            self.engine.apply_events(self._field_id_mapping(replay))
+        self._save_deferred([p for p in deferred if p not in committed])
+        return len(ready)
+
     def run_to_completion(self, timeout_s: int = 600) -> None:
         q = self.start(available_now=True)
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
+        self.drain_deferred()

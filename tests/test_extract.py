@@ -62,3 +62,34 @@ def test_generator_templates_roundtrip():
         txt = extract_text_bytes(_html_for(u, 3))
         assert txt and "script" not in txt and "<html" not in txt and "<p>" not in txt
         assert detect_lang_str(txt) == _lang_for(u)
+
+
+# ---- fast-path equivalence: the optimized extract_text_bytes must match the
+# defining regex pipeline byte-for-byte on arbitrary inputs (round 3 swapped
+# the hot whitespace steps for C-speed string ops)
+
+from hypothesis import given, settings, strategies as st
+
+from data_warehouse_etl_spark.cdc.extract import (
+    _extract_text_bytes_reference,
+    extract_text_bytes,
+)
+
+_html_soup = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["<script>", "</script >", "<style>", "</style>", "<!--", "-->",
+             "<br/>", "</p>", "<div>", "</div>", "<SCRIPT>", "</SCRIPT>",
+             "&amp;", "&eacute;", "&#65;", "&bogus;", "  ", "\t", "\r", "\v",
+             "\f", "\n", "\n\n\n", " \n ", "café", "\xa0", "<", ">", "&"]
+        ),
+        st.text(max_size=8),
+    ),
+    max_size=24,
+).map(lambda parts: "".join(parts).encode("utf-8"))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(st.none(), st.binary(max_size=64), _html_soup))
+def test_fast_extract_equals_defining_pipeline(data):
+    assert extract_text_bytes(data) == _extract_text_bytes_reference(data)

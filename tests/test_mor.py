@@ -169,3 +169,26 @@ def test_mor_metrics_account_for_every_event(spark, tmp_lake):
     for r in rows:
         assert r["events_in"] == r["updates"] + r["deletes"] + r["dedup_dropped"], r
         assert r["inserts"] == 0 and r["late_dropped"] == 0  # structurally MoR
+
+
+def test_default_compaction_bounds_read_amplification(spark, tmp_lake):
+    """The default cadence (compact_every_batches=32) must keep deltas-per-
+    bucket bounded on a long replay — a production tail that never calls
+    compact() must not accumulate unbounded read amplification — with
+    state_hash invariant to the cadence (round-3, VERDICT r2 item 4)."""
+    led = _ledger(tmp_lake)
+    # 6000 events / batch_size 150 -> 40 batches; default cadence compacts
+    # at batch 32, so the metric must peak near 32 then drop
+    eng = CdcEngine(spark, _cfg(led, tmp_lake, "amp", batch_size=150))
+    assert eng.cfg.compact_every_batches == 32  # the default under test
+    eng.run()
+    m = eng.metrics.read(spark).toPandas()
+    peak = int(m["max_deltas_per_bucket"].max())
+    assert 0 < peak <= 33
+    assert eng.read_amplification() < 32  # compaction actually ran
+
+    ref = CdcEngine(
+        spark, _cfg(led, tmp_lake, "amp0", batch_size=150, compact_every_batches=0)
+    )
+    ref.run()
+    assert state_hash(eng.read_pages()) == state_hash(ref.read_pages())

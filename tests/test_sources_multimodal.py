@@ -105,3 +105,121 @@ def test_xml_feed_export_roundtrip(spark):
         ("L2", "Plain", None),
         ("L3", 'Quote"s', "555-0003"),
     }
+
+
+def test_export_xml_feed_enforces_coupon_keyref(spark):
+    """XSD keyref (BookingRestaurantFeed_XSD_v1.xsd:28-36): a coupon
+    referencing a non-exported listing id must fail the export; a valid
+    coupon set must not (round 3)."""
+    import pytest
+
+    from data_warehouse_etl_spark.sources.feeds import export_xml_feed
+
+    listings = spark.createDataFrame(
+        [("L1", "Cafe A", "111"), ("L2", "Cafe B", "222")],
+        "listing_id string, name string, phone string",
+    )
+    good = spark.createDataFrame(
+        [("C1", "L1"), ("C2", "L2")], "coupon_id string, listing_id string"
+    )
+    docs = export_xml_feed(listings, n_docs=2, coupons=good)
+    assert docs.count() > 0  # validates and renders
+
+    dangling = spark.createDataFrame(
+        [("C1", "L1"), ("C3", "MISSING")], "coupon_id string, listing_id string"
+    )
+    with pytest.raises(ValueError, match="keyref.*MISSING"):
+        export_xml_feed(listings, n_docs=2, coupons=dangling)
+
+
+# ---- real PNG decode (round 3): pure-stdlib inflate + defilter ------------
+
+
+def _encode_png(w, h, nch, px, filters):
+    """Minimal PNG encoder (test-side inverse of decode_png)."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    stride = w * nch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(px[y * stride:(y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:
+            for x in range(stride - 1, nch - 1, -1):
+                enc[x] = (line[x] - line[x - nch]) & 0xFF
+        elif f == 2:
+            for x in range(stride):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                enc[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b, c = prev[x], (prev[x - nch] if x >= nch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pr) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters_golden():
+    """decode_png must invert every PNG scanline filter for every supported
+    channel count, byte-identically."""
+    import random
+
+    from data_warehouse_etl_spark.functions.multimodal import decode_png
+
+    rng = random.Random(5)
+    for nch in (1, 2, 3, 4):
+        px = bytes(rng.randrange(256) for _ in range(7 * 5 * nch))
+        for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+            w, h, c, out = decode_png(_encode_png(7, 5, nch, px, filters))
+            assert (w, h, c) == (7, 5, nch)
+            assert out == px
+
+
+def test_png_feature_extraction_through_spark(spark):
+    """The real PNG branch runs inside the mapInPandas pipeline: a known
+    2x2 RGB image yields exact [w, h, channels, channel means] regardless
+    of partitioning; a non-PNG blob takes the documented histogram stub."""
+    from data_warehouse_etl_spark.functions.multimodal import (
+        _decode_image,
+        extract_media_features,
+    )
+
+    png = _encode_png(2, 2, 3, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]),
+                      [0, 0])
+    expected = [2.0, 2.0, 3.0, 0.5, 0.5, 0.5]
+    assert _decode_image(png) == expected
+
+    rows = [(1, "image", bytearray(png), "image/png", 2, 2, None),
+            (2, "image", bytearray(b"notapng"), "application/octet-stream",
+             None, None, None)]
+    from data_warehouse_etl_spark.functions.multimodal import MEDIA_SCHEMA
+
+    for parts in (1, 4):
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
+        got = {r["media_id"]: r["feature"]
+               for r in extract_media_features(df).collect()}
+        assert [round(v, 6) for v in got[1]] == expected
+        assert len(got[2]) == 8  # histogram stub path

@@ -109,3 +109,48 @@ def test_stream_batch_retry_is_noop(spark, tmp_path):
     # redelivery of the same micro-batch id (Spark's retry contract) is a no-op
     assert eng.apply_events(events, stream_batch_id=0) is False
     assert state_hash(eng.read_pages()) == h
+
+
+def test_stream_defers_then_applies_late_committed_files(spark, tmp_path):
+    """A file the stream consumed BEFORE its manifest commit landed (the
+    ledger writer's normal write-then-register sequence) must not be lost:
+    it is deferred in the checkpoint sidecar and applied once committed
+    (round-3 fix for the consumed-and-dropped data-loss hazard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    led = generate_ledger(str(tmp_path / "changes"), SPEC)
+    # a late-committed file: on disk now, manifest commit arrives later
+    late_rel = os.path.join("data", "late", "l.parquet")
+    late_abs = os.path.join(led.path, late_rel)
+    os.makedirs(os.path.dirname(late_abs), exist_ok=True)
+    src = os.path.join(led.path, led.manifest.files[0]["path"])
+    t = pq.read_table(src).slice(0, 1)
+    for col, val in (("url", "http://late.example/x"), ("seq", 10**12)):
+        idx = t.schema.get_field_index(col)
+        t = t.set_column(idx, t.schema.field(col), pa.array([val], type=t.schema.field(col).type))
+    pq.write_table(t, late_abs)
+
+    streaming = StreamingCdcApply(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_l"),
+                     batch_size=400, num_buckets=4),
+    )
+    streaming.run_to_completion(timeout_s=300)
+    # consumed but uncommitted: not applied, but remembered in the sidecar
+    assert streaming.engine.refresh_pages().filter(
+        "url = 'http://late.example/x'"
+    ).count() == 0
+    assert late_abs in streaming._load_deferred()
+
+    # the writer's commit lands; the next drain applies the deferred rows
+    led.register_files([
+        {"path": late_rel, "bucket": 0,
+         "schema_version": led.manifest.files[0]["schema_version"],
+         "stats": {"min_seq": 10**12, "max_seq": 10**12}}
+    ])
+    streaming.run_to_completion(timeout_s=300)
+    assert streaming.engine.refresh_pages().filter(
+        "url = 'http://late.example/x'"
+    ).count() == 1
+    assert streaming._load_deferred() == []

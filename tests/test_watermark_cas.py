@@ -16,7 +16,8 @@ def test_watermark_drops_old_events(spark, tmp_path):
     with_wm = CdcEngine(
         spark,
         EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "wm"),
-                     batch_size=800, num_buckets=2, watermark_delay_s=60),
+                     batch_size=800, num_buckets=2, watermark_delay_s=60,
+                     watermark_mode="batch_exact"),
     )
     with_wm.run()
     without = CdcEngine(
@@ -32,6 +33,39 @@ def test_watermark_drops_old_events(spark, tmp_path):
     assert n_wm <= n_all
     m = with_wm.metrics.read(spark).toPandas()
     assert int(m["events_in"].sum()) < 800  # watermark filtered pre-stats
+
+
+def test_watermark_monotone_filters_and_resumes_identically(spark, tmp_path):
+    """Default 'monotone' mode: the cutoff is the COMMITTED event-time
+    high-water-mark (Structured Streaming's law) — no extra per-batch pass.
+    The first batch is unfiltered; later batches drop late rows; a cold
+    resume mid-replay replays the identical cutoffs (the mark is persisted
+    in the manifest) and reaches the same state as one continuous run."""
+    from data_warehouse_etl_spark.lake import state_hash
+
+    led = generate_ledger(
+        str(tmp_path / "changes"),
+        LedgerSpec(n_urls=100, n_events=800, n_parts=2, seed=3, out_of_order_rate=0.5),
+    )
+    cfg = dict(ledger_path=led.path, batch_size=200, num_buckets=2,
+               watermark_delay_s=60)
+    cont = CdcEngine(
+        spark, EngineConfig(pages_path=str(tmp_path / "cont"), **cfg)
+    )
+    cont.run()
+    m = cont.metrics.read(spark).toPandas()
+    assert int(m["events_in"].sum()) < 800  # later batches filtered late rows
+
+    # cold resume after 2 of 4 batches: new engine handle, same cutoff law
+    split = CdcEngine(
+        spark, EngineConfig(pages_path=str(tmp_path / "split"), **cfg)
+    )
+    split.run(max_batches=2)
+    split2 = CdcEngine(
+        spark, EngineConfig(pages_path=str(tmp_path / "split"), **cfg)
+    )
+    split2.run()
+    assert state_hash(split2.read_pages()) == state_hash(cont.read_pages())
 
 
 def test_concurrent_commit_cas(spark, tmp_path):

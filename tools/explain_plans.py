@@ -90,13 +90,22 @@ def main() -> int:
     ok &= audit("j6 equi-driven range join", PARITY_QUERIES["j6_range_join"](spark, sf),
                 forbid=["BroadcastNestedLoopJoin", "CartesianProduct"])
 
-    # V2 IVF: the probe pass ranks the CENTROID relation (25 rows built by
-    # posexplode+avg), not the corpus — grep for the centroid pipeline ops;
-    # the corpus scan appears only in the final pruned cell read.
-    from data_warehouse_etl_spark.functions import SIM_QUERIES
-    v2 = SIM_QUERIES["v2_knn_ivf_probed"](spark, sf)
-    ok &= audit("v2 centroid-table probe", v2,
-                want=["posexplode(", "partial_avg"],
+    # V2 IVF (round 3: MATERIALIZED index): the probe plan reads the
+    # 25-row centroids table, never the corpus; the cell-scan plan is
+    # statically partition-pruned to the probed labels (PartitionFilters) —
+    # only those cells' files are read.
+    from data_warehouse_etl_spark.functions.similarity import (
+        ivf_cell_scan_df,
+        ivf_probed_cells_df,
+    )
+    # (the probe's only corpus touch is the 1-row vec_id=0 pushed lookup)
+    probe = ivf_probed_cells_df(spark, sf)
+    ok &= audit("v2 probe reads centroid table", probe,
+                want=["centroids", "EqualTo(vec_id,0)"])
+    labels = [int(r["label"]) for r in probe.collect()]
+    cell_scan = ivf_cell_scan_df(spark, sf, labels)
+    ok &= audit("v2 cell scan partition-pruned", cell_scan,
+                want=["PartitionFilters: [", " IN ("],
                 forbid=["CartesianProduct"])
 
     # MoR read path: base+delta resolution is aggregation, never Window
