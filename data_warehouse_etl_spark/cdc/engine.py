@@ -5,8 +5,11 @@ Lifecycle per batch (SURVEY.md §3.4), merge-on-read default:
 
     changes ledger (LakeTable)                                  [source]
       → slice per-part offset range (cp[p], cp[p]+batch_size]   [plan; file-stats pruning]
-      → LWW dedup, salted hot-url two-phase reduce              [shuffle 1]
-      → pandas/Arrow UDF: html → text on surviving rows only    [transform]
+      → LWW winner keys over a (url, warc_ts, seq) projection,
+        hot urls (amortized sampled detection) salted two-phase;
+        winners' seqs broadcast back as a map-side semi-join     [shuffle 1: keys only]
+      → ONE fused pandas/Arrow UDF: html → (text, lang) on
+        surviving rows only                                      [transform]
       → append_deltas commit: survivors land as per-bucket
         DELTA files, offsets in the same manifest — one payload
         job/batch, O(batch) bytes written, no old-state read    [exactly-once]
@@ -111,7 +114,8 @@ class EngineConfig:
     #   as per-bucket DELTA files (append_deltas); no old-state read, no
     #   carried-row rewrite. Per-batch write cost is O(batch) regardless of
     #   table size; reads LWW-resolve base+delta. One payload job per batch
-    #   (plus a sampled key-count pass when skew_mode="detect").
+    #   (plus the amortized hot-key detection pass every hot_detect_every
+    #   batches when skew_mode="detect").
     # - "cow": copy-on-write — full-outer merge against the affected buckets'
     #   current state, rewriting those buckets (per-batch cost
     #   O(batch + affected-bucket data); exact insert/update metric classes).

@@ -170,3 +170,37 @@ def test_simhash64_planted_neardups_share_a_band(spark):
     assert share(1, 2), "near-dups must agree on at least one band"
     assert rows[1]["n_band_candidates"] >= 1
     assert not share(1, 3) and not share(2, 3), "unrelated doc must not bucket"
+
+
+def test_engine_hot_detection_cadence_state_invariant(spark, tmp_path):
+    """Amortized detect mode (round 3): detection runs on the 2nd batch and
+    every Nth after; the detected hot set takes the salted reduce; the final
+    state is byte-identical to the plain reduce (plan shape only)."""
+    from data_warehouse_etl_spark.cdc import (
+        CdcEngine,
+        EngineConfig,
+        LedgerSpec,
+        generate_ledger,
+    )
+    from data_warehouse_etl_spark.lake import state_hash
+
+    led = generate_ledger(
+        str(tmp_path / "changes"),
+        LedgerSpec(n_urls=200, n_events=4000, n_parts=2, seed=31, hot_url_rate=0.5),
+    )
+    base = dict(ledger_path=led.path, batch_size=1000, num_buckets=4,
+                dedup_plan="broadcast_keys")
+    det = CdcEngine(
+        spark,
+        EngineConfig(pages_path=str(tmp_path / "det"), skew_mode="detect",
+                     hot_threshold=10, hot_detect_every=1, **base),
+    )
+    det.run()
+    assert det._hot_keys, "the planted hot url must be detected"
+
+    plain = CdcEngine(
+        spark,
+        EngineConfig(pages_path=str(tmp_path / "plain"), skew_mode="plain", **base),
+    )
+    plain.run()
+    assert state_hash(det.read_pages()) == state_hash(plain.read_pages())

@@ -1,0 +1,63 @@
+"""The north rule's deployment mode: spark-submit --py-files must run the
+replay end-to-end with the package imported from the zip artifact, and the
+same submit at two parallelism levels must print the same state hash."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _submit(master: str, ledger: str, pages: str, zip_path: str) -> dict:
+    # prefer the spark-submit bundled with the installed pyspark (version
+    # match); fall back to whatever is on PATH
+    import pyspark
+
+    bundled = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    submit = bundled if os.path.exists(bundled) else shutil.which("spark-submit")
+    assert submit, "no spark-submit available"
+    cmd = [
+        submit,
+        "--master", master,
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "submit_replay.py"),
+        "--ledger", ledger,
+        "--pages", pages,
+        "--batch-size", "1000",
+        "--num-buckets", "4",
+        "--state-hash",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, cwd="/tmp", env=env
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(
+        f"no JSON result from spark-submit\nstdout:{proc.stdout[-1500:]}"
+        f"\nstderr:{proc.stderr[-1500:]}"
+    )
+
+
+def test_spark_submit_pyfiles_replay(tmp_path):
+    from data_warehouse_etl_spark.cdc import LedgerSpec, generate_ledger
+    from tools.make_pyfiles import build
+
+    led = generate_ledger(
+        str(tmp_path / "changes"),
+        LedgerSpec(n_urls=300, n_events=3000, n_parts=2, seed=7, evolve_at_seq=1500),
+    )
+    zip_path = build(str(tmp_path / "pkg.zip"))
+
+    r2 = _submit("local[2]", led.path, str(tmp_path / "pages2"), zip_path)
+    assert r2["batches"] > 0 and r2["events_applied"] == 3000
+    assert r2["live_rows"] > 0
+
+    r8 = _submit("local[8]", led.path, str(tmp_path / "pages8"), zip_path)
+    # byte-identical state at both parallelism levels — the north-rule check
+    assert r8["state_hash"] == r2["state_hash"]
+    assert r8["live_rows"] == r2["live_rows"]
