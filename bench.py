@@ -331,6 +331,12 @@ def _pair(
         / ratio
     )
     capacity_ratio = round((cap[high_cpus] / cap[low_cpus]) / ratio, 3)
+    probe_ratio = round(
+        (sum(r["cap_mops"] for r in runs_high) / len(runs_high))
+        / (sum(r["cap_mops"] for r in runs_low) / len(runs_low))
+        / ratio,
+        3,
+    )
     return {
         "low_cpus": low_cpus,
         "high_cpus": high_cpus,
@@ -344,6 +350,7 @@ def _pair(
         "per_rep_efficiency": [round(x, 3) for x in per_raw],
         "per_rep_normalized": [round(x, 3) for x in per_norm],
         "host_capacity_ratio": capacity_ratio,
+        "probe_capacity_ratio": probe_ratio,
         "state_identical": len({r["state_hash"] for r in runs_low + runs_high}) == 1,
         "runs_low": [r["events_per_sec"] for r in runs_low],
         "runs_high": [r["events_per_sec"] for r in runs_high],
@@ -532,8 +539,12 @@ steal correction — per-rep ratios: {scaling['per_rep_efficiency']}:
   additive noise, so the fastest run per width is the closest observation
   of the uncontended machine.
 
-(Whole-pair burn-calibration ratio for context: {scaling['host_capacity_ratio']}
-of a perfect {scaling['high_cpus'] // scaling['low_cpus']}x going {scaling['low_cpus']}->{scaling['high_cpus']} procs, measured once before the reps.)
+Self-consistency check: the probes measured a mean deliverable
+{scaling['low_cpus']}->{scaling['high_cpus']} capacity ratio of {scaling['probe_capacity_ratio']} of perfect during the reps, vs
+raw/self-normalized = {round(scaling['efficiency'] / max(scaling['self_normalized_efficiency'], 1e-9), 3)} — the normalization tracks the cycle
+shortfall the probes actually saw (they agree up to probe noise; both are
+printed so the reader can judge). Whole-pair burn ratio measured once
+before the reps, for contrast with the drift: {scaling['host_capacity_ratio']}.
 {s2_md}
 ## Full-width multi-batch run (production cadence)
 
