@@ -224,6 +224,67 @@ def ivf_cell_scan_df(spark, sf_dir: str, labels: list[int]):
     )
 
 
+def _srp_planes(n_planes: int = 4, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic sign-random-projection hyperplanes (seeded, rounded to
+    6 places so the literals — and therefore the buckets — are identical in
+    both engines)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+_SRP_PLANES = _srp_planes()
+
+
+def _srp_bucket_spark(col: str) -> str:
+    terms = []
+    for j, p in enumerate(_SRP_PLANES):
+        arr = "array(" + ", ".join(f"CAST({c} AS DOUBLE)" for c in p) + ")"
+        dot = _COS_SPARK.format(a=col, b=arr)
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _srp_bucket_duck(col: str) -> str:
+    terms = []
+    for j, p in enumerate(_SRP_PLANES):
+        arr = "[" + ", ".join(str(c) for c in p) + "]"
+        dot = f"list_dot_product(CAST({col} AS DOUBLE[]), {arr})"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _knn_lsh_sql(emb: str, cos, bucket_fn) -> str:
+    # LSH-ANN: the bucket is sign(v . plane_j) bits — cosine-similar vectors
+    # agree on most hyperplane sides, so the probe's bucket holds its likely
+    # neighbors. Candidates = same bucket only (1/2^k of the corpus in
+    # expectation); at 100 TB `srp_bucket` is the partition/cluster key and
+    # this is a one-bucket pruned scan, the same physical shape as the IVF
+    # cell scan (functions/similarity.py::ivf_cell_scan_df).
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM {emb} WHERE vec_id = {_QUERY_VEC_ID}),
+    qb AS (SELECT {bucket_fn("qv")} AS qbucket FROM q)
+    SELECT e.vec_id, e.label,
+           ROUND({cos("e.embedding", "q.qv")}, 6) AS cosine,
+           CAST({bucket_fn("e.embedding")} AS BIGINT) AS srp_bucket
+    FROM {emb} e CROSS JOIN q CROSS JOIN qb
+    WHERE {bucket_fn("e.embedding")} = qb.qbucket AND e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY {cos("e.embedding", "q.qv")} DESC, e.vec_id ASC
+    LIMIT 10
+    """
+
+
+def q_knn_lsh_srp(spark, sf):
+    """Sign-random-projection LSH ANN (the brief's 'LSH-bucketed variant'):
+    4 seeded hyperplanes hash every vector to a 4-bit bucket; the probe
+    scans only its own bucket (~1/16 of the corpus) for the top-10 by
+    cosine. Complements the IVF path: SRP needs no centroid training and
+    the bucket id is a pure function of the vector, so the bucketed layout
+    is maintainable by the CDC engine like any other partition key."""
+    return _run(spark, sf, _knn_lsh_sql("embeddings_v", _cos_spark, _srp_bucket_spark))
+
+
 def q_knn_ivf_probed(spark, sf):
     """IVF ANN against the MATERIALIZED index (round 3): the probe pass
     ranks the 25-row centroid table (not the corpus), the tiny probed-cell
@@ -262,6 +323,7 @@ SIM_QUERIES = {
     "v1_knn_bruteforce": q_knn_bruteforce,
     "v2_knn_ivf_probed": q_knn_ivf_probed,
     "v3_embedding_neardup": q_embedding_neardup,
+    "v4_knn_lsh_srp": q_knn_lsh_srp,
 }
 
 SIM_ORACLE = {
@@ -270,4 +332,5 @@ SIM_ORACLE = {
         "embeddings", _cos_duck, _centroids_duck("embeddings")
     ),
     "v3_embedding_neardup": _neardup_sql("embeddings", _cos_duck),
+    "v4_knn_lsh_srp": _knn_lsh_sql("embeddings", _cos_duck, _srp_bucket_duck),
 }
