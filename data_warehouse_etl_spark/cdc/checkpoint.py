@@ -36,7 +36,14 @@ class CheckpointsTable:
     @staticmethod
     def open(path: str) -> "CheckpointsTable":
         if LakeTable.exists(path):
-            return CheckpointsTable(LakeTable.load(path))
+            t = LakeTable.load(path)
+            # evolve resumed mirrors if SCHEMA has since grown a column
+            # (same hazard as MetricsTable.open — see comment there)
+            have = {f.name for f in t.manifest.current_fields}
+            for n, ddl in SCHEMA:
+                if n not in have:
+                    t = t.add_column(n, ddl)
+            return CheckpointsTable(t)
         return CheckpointsTable(LakeTable.create(path, SCHEMA, bucket_col=None))
 
     def record(self, spark: SparkSession, batch_id: int, offsets: dict[int, int]) -> None:

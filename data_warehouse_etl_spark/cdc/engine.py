@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -185,11 +186,16 @@ class CdcEngine:
         # amortized skew detection state (see EngineConfig.hot_detect_every)
         self._hot_keys: list = []
         self._batches_this_run: int = 0
-        # winners-per-row ratio learned from each batch's survivor counts
-        # (mstats are free); the "auto" dedup gate estimates the next batch's
-        # winner-set size as rows x ratio. Starts conservative (1.0 = assume
-        # all-distinct) so a first huge batch can never force a huge broadcast.
-        self._winner_ratio: float = 1.0
+        # winners-per-row ratios observed over the last few batches (mstats
+        # are free); the "auto" dedup gate estimates the next batch's
+        # winner-set size as rows x max(recent ratios). Starts conservative
+        # (1.0 = assume all-distinct) so a first huge batch can never force a
+        # huge broadcast. Taking the MAX over a window — not just the
+        # immediately preceding batch — plus a 0.1 floor on each observation
+        # bounds the underestimate after a distribution shift (a dup-heavy
+        # batch followed by a mostly-distinct one) at 10x, so the worst-case
+        # admitted broadcast is 10 * dedup_bcast_limit keys, not 100x.
+        self._winner_ratios: deque[float] = deque([1.0], maxlen=4)
         # monotone-watermark state: max event time observed by committed
         # batches but not yet persisted (it is written into the NEXT commit's
         # properties, so the cutoff depends only on committed state and a
@@ -538,7 +544,7 @@ class CdcEngine:
         else:
             n_rows = None
         est_winners = (
-            n_rows * self._winner_ratio if n_rows is not None else cfg.batch_size
+            n_rows * max(self._winner_ratios) if n_rows is not None else cfg.batch_size
         )
         use_bcast = cfg.dedup_plan == "broadcast_keys" or (
             cfg.dedup_plan == "auto" and est_winners <= cfg.dedup_bcast_limit
@@ -639,7 +645,9 @@ class CdcEngine:
         # refine the winners-per-row estimate for the next batch's dedup gate
         # (mstats classes cover exactly the batch's LWW winner rows)
         if n_rows:
-            self._winner_ratio = min(max(sum(mstats.values()) / n_rows, 0.01), 1.0)
+            self._winner_ratios.append(
+                min(max(sum(mstats.values()) / n_rows, 0.1), 1.0)
+            )
         # monotone watermark: persist the event-time high-water-mark observed
         # on the apply job as a driver-side property commit (manifest write,
         # no Spark job). The NEXT batch's cutoff reads only committed state,

@@ -43,7 +43,20 @@ class MetricsTable:
     @staticmethod
     def open(path: str) -> "MetricsTable":
         if LakeTable.exists(path):
-            return MetricsTable(LakeTable.load(path))
+            t = LakeTable.load(path)
+            # Schema evolution for resumed mirrors: a metrics table created
+            # before SCHEMA grew a column would keep its old manifest schema,
+            # and append would then register wider files under the old
+            # schema_version — silently dropping the new column on read (and
+            # breaking consumers that select it). Evolve the manifest
+            # (add-as-null, new field id) before any append. New columns are
+            # only ever APPENDED to SCHEMA, so positional row building in
+            # append() stays aligned with the evolved field order.
+            have = {f.name for f in t.manifest.current_fields}
+            for n, ddl in SCHEMA:
+                if n not in have:
+                    t = t.add_column(n, ddl)
+            return MetricsTable(t)
         return MetricsTable(LakeTable.create(path, SCHEMA, bucket_col=None))
 
     def append(self, spark: SparkSession, rows: list[dict]) -> None:

@@ -446,6 +446,32 @@ class LakeTable:
                         os.rename(lock, stale)
                     except OSError:
                         continue  # someone else stole the break; re-examine
+                    # TOCTOU guard: between our staleness stat and the
+                    # rename, another breaker may have completed the break
+                    # AND a new committer created a FRESH lock at the same
+                    # path — which our rename just hijacked. Re-stat what we
+                    # actually moved: if it is NOT stale, it was a live lock;
+                    # restore it (hard-link = atomic, non-clobbering — never
+                    # overwrites a lock recreated in the meantime) and treat
+                    # the slot as held.
+                    try:
+                        fresh = (
+                            _time.time() - os.path.getmtime(stale)
+                            <= LakeTable._LOCK_STALE_S
+                        )
+                    except OSError:
+                        continue  # moved file vanished; re-examine
+                    if fresh:
+                        try:
+                            os.link(stale, lock)
+                            os.unlink(stale)
+                        except OSError:
+                            pass  # lock recreated first; holder's commit is
+                            # still guarded by the pointer-version check
+                        raise RuntimeError(
+                            f"concurrent commit in progress ({lock} held): "
+                            "refresh() and retry"
+                        )
                     try:
                         os.unlink(stale)
                     except OSError:

@@ -30,6 +30,9 @@ Manifest-faithful streaming (the two hazards of a naive file stream):
    atomic commit; a crash in between re-applies the deferred rows in the
    next batch, which is harmless because the LWW merge is idempotent —
    re-upserting identical (url, warc_ts, seq) rows cannot change the argmax.
+   (A deferred file the source later redelivers normally is likewise applied
+   twice across batches — state-safe, but the observational ``events_in`` /
+   per-batch metrics count its rows in both batches.)
 
 Late data: a ``withWatermark`` on a ``foreachBatch`` sink with no stateful
 aggregation is a no-op, so the watermark law is enforced inside
@@ -110,19 +113,67 @@ class StreamingCdcApply:
     def _deferred_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "deferred_files.json")
 
-    def _load_deferred(self) -> list[str]:
+    def _load_sidecar(self) -> dict:
         try:
             with open(self._deferred_path) as fh:
-                return json.load(fh)
+                data = json.load(fh)
         except (FileNotFoundError, json.JSONDecodeError):
-            return []
+            return {"deferred": [], "settled": {}}
+        if isinstance(data, list):  # pre-r4 sidecar: bare deferred list
+            return {"deferred": data, "settled": {}}
+        return data
 
-    def _save_deferred(self, paths: list[str]) -> None:
+    def _load_deferred(self) -> list[str]:
+        return self._load_sidecar()["deferred"]
+
+    def _save_sidecar(self, deferred: list[str], settled: dict) -> None:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         tmp = self._deferred_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(sorted(paths), fh)
+            json.dump({"deferred": sorted(set(deferred)), "settled": settled}, fh)
         os.replace(tmp, self._deferred_path)
+
+    def _scan_data_dir(
+        self, data_dir: str, committed: set[str], settled: dict
+    ) -> tuple[set[str], dict]:
+        """List parquet files under the ledger data dir WITHOUT re-walking
+        snapshot directories that are already settled.
+
+        Ledger writes are write-once: every commit lands in a fresh
+        ``data/snap-*`` directory and the manifest commit happens only after
+        the parquet write finishes, so once every file observed inside a snap
+        dir is in the manifest, that dir will never gain another file. Such
+        dirs' listings are cached in the sidecar (``settled``) and reused, so
+        a long-lived ledger costs O(new files) per micro-batch instead of an
+        O(total files) driver-side walk. Returns (on_disk, new_settled).
+        """
+        on_disk: set[str] = set()
+        new_settled: dict = {}
+        try:
+            entries = list(os.scandir(data_dir))
+        except FileNotFoundError:
+            return on_disk, new_settled
+        for e in entries:
+            if e.is_file():
+                if e.name.endswith(".parquet"):
+                    on_disk.add(e.path)
+                continue
+            cached = settled.get(e.name)
+            if cached is not None:
+                on_disk.update(os.path.join(e.path, rel) for rel in cached)
+                new_settled[e.name] = cached
+                continue
+            rels = sorted(
+                os.path.relpath(os.path.join(root, fn), e.path)
+                for root, _dirs, fns in os.walk(e.path)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            paths = [os.path.join(e.path, rel) for rel in rels]
+            on_disk.update(paths)
+            if rels and all(p in committed for p in paths):
+                new_settled[e.name] = rels
+        return on_disk, new_settled
 
     # ------------------------------------------------------------ the sink
 
@@ -139,21 +190,22 @@ class StreamingCdcApply:
         committed_uris = [f"file://{p}" for p in committed] + list(committed)
         batch_df = batch_df.withColumn("_src", F.input_file_name())
         # deferred files from earlier batches whose commit has since landed
-        deferred = self._load_deferred()
+        sidecar = self._load_sidecar()
+        deferred = sidecar["deferred"]
         ready = [p for p in deferred if p in committed]
         still_deferred = [p for p in deferred if p not in committed]
         # uncommitted files by driver-side directory-vs-manifest diff —
-        # O(|files|) listing, no extra scan over the batch's rows. This may
+        # incremental listing (settled snap dirs are never re-walked; see
+        # _scan_data_dir), no extra scan over the batch's rows. This may
         # defer a file the source has not consumed yet (it will also deliver
-        # it normally later); the resulting double-apply is a no-op because
-        # the LWW argmax over identical rows is idempotent.
+        # it normally later); the resulting double-apply is a STATE no-op
+        # because the LWW argmax over identical rows is idempotent, but the
+        # observational events_in / per-batch metrics count the file's rows
+        # in both batches — lineage consumers should expect that.
         data_dir = os.path.join(self.engine.ledger.path, "data")
-        on_disk = {
-            os.path.join(root, fn)
-            for root, _dirs, fns in os.walk(data_dir)
-            for fn in fns
-            if fn.endswith(".parquet")
-        }
+        on_disk, settled = self._scan_data_dir(
+            data_dir, committed, sidecar["settled"]
+        )
         new_orphans = sorted(on_disk - committed - set(still_deferred))
 
         events = self._field_id_mapping(
@@ -172,8 +224,17 @@ class StreamingCdcApply:
         # and sidecar write re-applies `ready` next batch, which the LWW
         # merge makes a no-op (idempotent argmax on identical rows).
         applied = self.engine.apply_events(events, stream_batch_id=batch_id)
-        if applied or not os.path.exists(self._deferred_path):
-            self._save_deferred(still_deferred + new_orphans)
+        if applied:
+            self._save_sidecar(still_deferred + new_orphans, settled)
+        else:
+            # foreachBatch retry of an already-committed micro-batch:
+            # `ready` was NOT re-applied this time, so it must STAY deferred
+            # (its rows may never have been applied if its commit landed
+            # after the original attempt). Newly observed orphans are still
+            # persisted — dropping them here would let a file consumed in
+            # this retried batch, whose manifest commit lands before the
+            # next walk, skip orphan classification forever (silent loss).
+            self._save_sidecar(still_deferred + ready + new_orphans, settled)
 
     def start(self, available_now: bool = True):
         ledger_glob = os.path.join(self.cfg.ledger_path, "data")
@@ -202,12 +263,15 @@ class StreamingCdcApply:
             os.path.join(self.engine.ledger.path, f["path"])
             for f in self.engine.ledger.manifest.files
         }
-        deferred = self._load_deferred()
+        sidecar = self._load_sidecar()
+        deferred = sidecar["deferred"]
         ready = [p for p in deferred if p in committed]
         if ready:
             replay = self.spark.read.schema(self._superset_schema()).parquet(*ready)
             self.engine.apply_events(self._field_id_mapping(replay))
-        self._save_deferred([p for p in deferred if p not in committed])
+        self._save_sidecar(
+            [p for p in deferred if p not in committed], sidecar["settled"]
+        )
         return len(ready)
 
     def run_to_completion(self, timeout_s: int = 600) -> None:

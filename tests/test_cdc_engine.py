@@ -203,3 +203,46 @@ def test_metrics_and_checkpoints_emitted(spark, ledger, tmp_path):
     cp = eng.checkpoints.read(spark).toPandas()
     per_part_final = cp.sort_values("batch_id").groupby("part")["committed_seq"].last()
     assert dict(per_part_final) == eng.committed_offsets()
+
+
+def test_metrics_mirror_schema_evolves_on_open(spark, tmp_path):
+    """Round-4 ADVICE fix: a metrics mirror created before SCHEMA grew a
+    column must be evolved on open — otherwise appends register wider files
+    under the old schema_version and the new column is silently dropped on
+    read."""
+    from data_warehouse_etl_spark.cdc.driverio import append_rows
+    from data_warehouse_etl_spark.cdc.metrics import SCHEMA, MetricsTable
+
+    path = str(tmp_path / "metrics")
+    old_schema = SCHEMA[:-1]  # a pre-r3 mirror: no max_deltas_per_bucket
+    t = LakeTable.create(path, old_schema, bucket_col=None)
+    append_rows(t, [(1, 0, 10, 1, 2, 3, 0, 0, 100, 50, 200.0)], old_schema)
+
+    mt = MetricsTable.open(path)
+    assert [f.name for f in mt.table.manifest.current_fields] == [n for n, _ in SCHEMA]
+    mt.append(spark, [dict(
+        batch_id=2, part=0, events_in=20, inserts=2, updates=4, deletes=6,
+        dedup_dropped=0, late_dropped=0, bytes_html=200, wall_ms=80,
+        events_per_sec=250.0, max_deltas_per_bucket=7,
+    )])
+    got = {r["batch_id"]: r["max_deltas_per_bucket"] for r in mt.read(spark).collect()}
+    assert got == {1: None, 2: 7}  # old row add-as-null, new row's value kept
+
+
+def test_winner_ratio_floor_and_window(spark, tmp_path):
+    """Round-4 ADVICE fix: the auto-dedup gate's winners-per-row estimate
+    must not trust a single dup-heavy batch — each observation is floored at
+    0.1 and the gate takes the MAX over a window that still contains the
+    conservative 1.0 seed, bounding any post-shift underestimate at 10x."""
+    spec = LedgerSpec(n_urls=5, n_events=500, n_parts=1, seed=3)
+    led = generate_ledger(str(tmp_path / "changes"), spec)
+    eng = CdcEngine(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages"),
+                     batch_size=500, num_buckets=2),
+    )
+    eng.apply_events(led.read(spark))
+    # true survivor ratio is ~5/500 = 0.01; the floor records 0.1
+    assert eng._winner_ratios[-1] == pytest.approx(0.1)
+    # the 1.0 seed is still inside the window -> next estimate stays conservative
+    assert max(eng._winner_ratios) == 1.0

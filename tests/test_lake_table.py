@@ -80,3 +80,31 @@ def test_state_hash_order_insensitive(spark):
     assert state_hash(a) == state_hash(b)
     c = spark.createDataFrame([("a", 1), ("b", 3)], "url string, v int")
     assert state_hash(a) != state_hash(c)
+
+
+def test_lock_break_toctou_restores_live_lock(tmp_path, monkeypatch):
+    """Round-4 ADVICE fix: a breaker that stats the lock as stale but then
+    renames a FRESH lock (one recreated in its stat->rename window by another
+    breaker + new committer) must detect the hijack on re-stat, restore the
+    live lock, and report the slot held — never admit two committers."""
+    import time
+
+    import pytest
+
+    lock = str(tmp_path / "commit.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    real_getmtime = os.path.getmtime
+
+    def fake_getmtime(p):
+        # the pre-rename stat (lock path) reports a stale age; the re-stat of
+        # the renamed copy reports its TRUE fresh mtime — exactly the TOCTOU
+        if p == lock:
+            return time.time() - 400.0
+        return real_getmtime(p)
+
+    monkeypatch.setattr("os.path.getmtime", fake_getmtime)
+    with pytest.raises(RuntimeError, match="concurrent commit in progress"):
+        LakeTable._acquire_lock(lock)
+    # the live lock was put back, not stolen or unlinked
+    assert os.path.exists(lock)

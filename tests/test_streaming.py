@@ -154,3 +154,74 @@ def test_stream_defers_then_applies_late_committed_files(spark, tmp_path):
         "url = 'http://late.example/x'"
     ).count() == 1
     assert streaming._load_deferred() == []
+
+
+def test_stream_retry_persists_new_orphans(spark, tmp_path):
+    """Round-4 ADVICE fix: a foreachBatch RETRY of an already-committed
+    micro-batch (apply_events short-circuits, applied=False) must still
+    persist newly observed uncommitted files as deferred — otherwise a file
+    consumed in the retried batch whose manifest commit lands before the next
+    directory walk is never classified an orphan (silent loss). Ready-but-
+    unapplied deferred files must likewise STAY deferred."""
+    import pyarrow.parquet as pq
+
+    led = generate_ledger(str(tmp_path / "changes"), SPEC)
+    streaming = StreamingCdcApply(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_r"),
+                     batch_size=400, num_buckets=4),
+    )
+    streaming.run_to_completion(timeout_s=300)
+    assert streaming._load_deferred() == []
+
+    # plant an uncommitted file AFTER the run (the retried batch will observe it)
+    orphan = os.path.join(led.path, "data", "retry-orphan", "o.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    committed_file = os.path.join(led.path, led.manifest.files[0]["path"])
+    pq.write_table(pq.read_table(committed_file).slice(0, 1), orphan)
+
+    # simulate crash-before-sidecar-save: a deferred file whose commit HAS
+    # landed (ready) but that this retried attempt will not apply
+    streaming._save_sidecar([committed_file], {})
+
+    # redeliver stream batch 0 (already committed -> applied=False)
+    batch_df = spark.read.schema(streaming._superset_schema()).parquet(committed_file)
+    streaming._apply_batch(batch_df, 0)
+
+    deferred = set(streaming._load_deferred())
+    assert orphan in deferred, "new orphan dropped on retried batch"
+    assert committed_file in deferred, "ready-but-unapplied file dropped on retry"
+
+
+def test_stream_scan_skips_settled_dirs(spark, tmp_path):
+    """The incremental walk must reuse cached listings for settled snap dirs
+    (every file committed) and still fully discover files in new dirs."""
+    led = generate_ledger(str(tmp_path / "changes"), SPEC)
+    streaming = StreamingCdcApply(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_s"),
+                     batch_size=400, num_buckets=4),
+    )
+    committed = {
+        os.path.join(led.path, f["path"]) for f in led.manifest.files
+    }
+    data_dir = os.path.join(led.path, "data")
+    on_disk1, settled = streaming._scan_data_dir(data_dir, committed, {})
+    assert on_disk1 == committed
+    assert settled, "fully-committed snap dirs must settle"
+    # second scan with the cache must see the same files WITHOUT walking
+    # settled dirs — prove it by poisoning os.walk for settled paths
+    import os as _os
+    real_walk = _os.walk
+
+    def guarded_walk(top, *a, **kw):
+        for name in settled:
+            assert not top.endswith(name), f"re-walked settled dir {name}"
+        return real_walk(top, *a, **kw)
+
+    try:
+        _os.walk = guarded_walk
+        on_disk2, settled2 = streaming._scan_data_dir(data_dir, committed, settled)
+    finally:
+        _os.walk = real_walk
+    assert on_disk2 == on_disk1 and settled2 == settled
