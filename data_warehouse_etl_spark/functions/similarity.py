@@ -275,14 +275,98 @@ def _knn_lsh_sql(emb: str, cos, bucket_fn) -> str:
     """
 
 
+def srp_index_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(_REPO_ROOT, ".bench", f"srp_index_{tag}")
+
+
+def build_srp_index(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None, force: bool = False
+) -> str:
+    """Materialize the SRP-LSH bucketed layout ONCE (round 4 — VERDICT r3
+    item 1): the corpus rewritten ``partitionBy(srp_bucket)``, bucket id in
+    the partition spec, so the probe's one-bucket candidate scan is
+    file-pruned (``PartitionFilters: [srp_bucket = ...]``) instead of
+    evaluating 4 hyperplane dot products on every corpus row at query time —
+    the same physical graduation ``build_ivf_index`` gave the IVF path in
+    round 3, and the reference's materialized-staging idiom
+    (``/root/reference/Sql Scripts/STG_REST_P_ANALYSIS.sql:6-40``).
+
+    Unlike IVF there is no trained relation to store: the bucket is a pure
+    function of the vector (seeded hyperplane literals), so the layout is
+    maintainable by the CDC engine like any other partition key — an
+    upserted vector's bucket is computed in the same expression at write
+    time. Idempotent via a source-mtime marker; ``force`` rebuilds."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    index_dir = index_dir or srp_index_dir(sf_dir)
+    marker = os.path.join(index_dir, "_built_from.txt")
+    stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src):.0f}"
+    if not force and os.path.exists(marker) and open(marker).read() == stamp:
+        return index_dir
+    emb = spark.read.parquet(src)
+    emb.createOrReplaceTempView("srp_build_src_v")
+    bucketed = spark.sql(
+        f"SELECT *, CAST({_srp_bucket_spark('embedding')} AS INT) AS srp_bucket "
+        "FROM srp_build_src_v"
+    )
+    bucketed.write.mode("overwrite").partitionBy("srp_bucket").parquet(
+        os.path.join(index_dir, "buckets")
+    )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return index_dir
+
+
+def srp_query_bucket(spark, sf_dir: str) -> int:
+    """The probe vector's own bucket — a 1-row job over the probe, never a
+    corpus scan (vec_id is the pushed-down filter)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    row = spark.sql(
+        f"SELECT CAST({_srp_bucket_spark('embedding')} AS INT) AS b "
+        f"FROM parquet.`{src}` WHERE vec_id = {_QUERY_VEC_ID}"
+    ).collect()[0]
+    return int(row["b"])
+
+
+def srp_bucket_scan_df(spark, sf_dir: str, qbucket: int):
+    """The pruned candidate pass: scan ONLY the probe's bucket of the
+    partitioned-by-srp_bucket layout. The literal equality on the partition
+    column is a static partition prune — ``.explain`` shows
+    ``PartitionFilters: [srp_bucket = ...]`` and only that directory's files
+    are read (asserted in tests/test_srp_index.py)."""
+    idx = build_srp_index(spark, sf_dir)
+    spark.read.parquet(os.path.join(idx, "buckets")).createOrReplaceTempView(
+        "srp_buckets_v"
+    )
+    q_sql = (
+        f"SELECT embedding AS qv FROM parquet.`{os.path.join(sf_dir, 'embeddings.parquet')}` "
+        f"WHERE vec_id = {_QUERY_VEC_ID}"
+    )
+    return spark.sql(
+        f"""
+        WITH q AS ({q_sql})
+        SELECT e.vec_id, e.label,
+               ROUND({_cos_spark("e.embedding", "q.qv")}, 6) AS cosine,
+               CAST(e.srp_bucket AS BIGINT) AS srp_bucket
+        FROM srp_buckets_v e CROSS JOIN q
+        WHERE e.srp_bucket = {int(qbucket)} AND e.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY {_cos_spark("e.embedding", "q.qv")} DESC, e.vec_id ASC
+        LIMIT 10
+        """
+    )
+
+
 def q_knn_lsh_srp(spark, sf):
     """Sign-random-projection LSH ANN (the brief's 'LSH-bucketed variant'):
     4 seeded hyperplanes hash every vector to a 4-bit bucket; the probe
     scans only its own bucket (~1/16 of the corpus) for the top-10 by
-    cosine. Complements the IVF path: SRP needs no centroid training and
-    the bucket id is a pure function of the vector, so the bucketed layout
-    is maintainable by the CDC engine like any other partition key."""
-    return _run(spark, sf, _knn_lsh_sql("embeddings_v", _cos_spark, _srp_bucket_spark))
+    cosine. Runs against the MATERIALIZED partitionBy(srp_bucket) layout
+    (round 4): the probe's bucket is a 1-row job, then a one-partition
+    pruned scan — no query-time hyperplane evaluation over the corpus. The
+    self-contained inline form (_knn_lsh_sql) is what the DuckDB oracle
+    runs; values are identical because the layout stores the same
+    CAST(... AS INT) bucket the inline expression computes."""
+    return srp_bucket_scan_df(spark, sf, srp_query_bucket(spark, sf))
 
 
 def q_knn_ivf_probed(spark, sf):

@@ -108,6 +108,20 @@ def main() -> int:
                 want=["PartitionFilters: [", " IN ("],
                 forbid=["CartesianProduct"])
 
+    # V4 SRP-LSH (round 4: MATERIALIZED bucketed layout): the candidate scan
+    # is statically partition-pruned to the probe's bucket — no query-time
+    # hyperplane evaluation over the corpus.
+    from data_warehouse_etl_spark.functions.similarity import (
+        srp_bucket_scan_df,
+        srp_query_bucket,
+    )
+    qb = srp_query_bucket(spark, sf)
+    srp_scan = srp_bucket_scan_df(spark, sf, qb)
+    # (attribute ids suffix the column name in the plan text: srp_bucket#N = qb)
+    ok &= audit("v4 srp scan partition-pruned", srp_scan,
+                want=["PartitionFilters: [isnotnull(srp_bucket#", f" = {qb})]"],
+                forbid=["CartesianProduct"])
+
     # MoR read path: base+delta resolution is aggregation, never Window
     import tempfile
     from data_warehouse_etl_spark.lake import LakeTable
