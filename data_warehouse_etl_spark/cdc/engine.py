@@ -63,6 +63,7 @@ from .dedup import lww_dedup_auto, lww_dedup_broadcast_keys, sample_hot_keys
 from .extract import extract_enrich_udf, extract_text_udf
 from .metrics import MetricsTable
 from .checkpoint import CheckpointsTable
+from .schedule import ScheduleTable
 
 INTERNAL_COLS = ("_seq", "_deleted")
 CHECKPOINTS_PROP = "checkpoints"
@@ -167,6 +168,10 @@ class EngineConfig:
     # trades at most N batches of mirror rows on crash for ~4 fewer Spark
     # jobs per batch (each job is a straggler-exposed barrier).
     mirror_flush_batches: int = 8
+    # declared cadence recorded in the _schedule registry after each run()
+    # (the reference's "Schedule Frequency" metadata: daily | monthly |
+    # on_demand | run_time | cron:<expr> — free-form, purely observational)
+    schedule_frequency: str = "on_demand"
     extra: dict = field(default_factory=dict)
 
 
@@ -181,6 +186,7 @@ class CdcEngine:
             self.pages = self._create_pages()
         self.metrics = MetricsTable.open(cfg.pages_path + "_metrics")
         self.checkpoints = CheckpointsTable.open(cfg.pages_path + "_checkpoints")
+        self.schedule = ScheduleTable.open(cfg.pages_path + "_schedule")
         self._pending_metrics: list[dict] = []
         self._pending_checkpoints: list[tuple[int, dict[int, int]]] = []
         # amortized skew detection state (see EngineConfig.hot_detect_every)
@@ -292,6 +298,14 @@ class CdcEngine:
                     self.compact()
         finally:
             self.flush_mirrors()
+            # cadence registry: one observational row per run (driver-side
+            # append, no Spark job) — process identity + declared frequency
+            # + completion time, the reference's Schedule-Frequency surface
+            self.schedule.record(
+                os.path.basename(self.cfg.pages_path.rstrip("/")),
+                self.cfg.schedule_frequency,
+                applied,
+            )
         return applied
 
     def compact(self, buckets: list[int] | None = None) -> None:

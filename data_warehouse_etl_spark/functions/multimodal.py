@@ -129,14 +129,70 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, nch, bytes(out)
 
 
+# SOF frame-header markers (JPEG spec B.2.2): every baseline / extended /
+# progressive / lossless / arithmetic variant carries (precision, height,
+# width, n_components) in the same positions. C4=DHT, C8=JPG, CC=DAC are NOT
+# frame headers.
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
+    """REAL JPEG metadata from the SOF frame header (round 4): walk the
+    marker segments to the first SOFn and read (width, height, channels) —
+    pure stdlib, no entropy/DCT decode needed for metadata, so the second-
+    most-common image format gets real dimensions without pillow. Raises
+    ValueError on non-JPEG / truncated / SOF-less streams."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("lost marker sync")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS reached without a frame header
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise ValueError("bad segment length")
+        if marker in _JPEG_SOF:
+            if pos + 10 > len(data):
+                raise ValueError("truncated SOF")
+            _prec, h, w, nch = struct.unpack(">BHHB", data[pos + 4 : pos + 10])
+            return w, h, nch
+        pos += 2 + seglen
+    raise ValueError("no SOF marker")
+
+
+def _byte_hist(content: bytes) -> list[float]:
+    """Deterministic 8-bucket byte histogram — the clearly-marked payload
+    STUB for codecs whose pixel/sample decode needs libraries this container
+    cannot install (pillow/av); a deployment swaps this for the real thing."""
+    if not content:
+        return [0.0] * 8
+    hist = [0] * 8
+    for b in content:
+        hist[b >> 5] += 1
+    n = float(len(content))
+    return [round(h / n, 6) for h in hist]
+
+
 def _decode_image(content: bytes) -> list[float]:
     """Image → fixed small feature vector.
 
     PNG: REAL decode (:func:`decode_png`) → [width, height, channels,
     mean_ch0..mean_chN] with means rounded to 6 places (deterministic at any
-    parallelism). Other formats: deterministic 8-bucket byte-histogram
-    fallback — STUB, clearly marked; a deployment with pillow/av swaps this
-    branch for a real decode of the remaining codecs."""
+    parallelism). JPEG: REAL dimensions/channels from the SOF header
+    (:func:`jpeg_dimensions`) → [width, height, channels] + byte-histogram
+    payload stub. Other formats: the histogram stub alone — a deployment
+    with pillow/av swaps that branch for a real decode."""
     if content and content.startswith(_PNG_MAGIC):
         try:
             w, h, nch, px = decode_png(content)
@@ -147,13 +203,13 @@ def _decode_image(content: bytes) -> list[float]:
             return [float(w), float(h), float(nch)] + means
         except (ValueError, zlib.error, struct.error):
             pass  # malformed PNG → histogram fallback below
-    if not content:
-        return [0.0] * 8
-    hist = [0] * 8
-    for b in content:
-        hist[b >> 5] += 1
-    n = float(len(content))
-    return [round(h / n, 6) for h in hist]
+    if content and content[0:2] == b"\xff\xd8":
+        try:
+            w, h, nch = jpeg_dimensions(content)
+            return [float(w), float(h), float(nch)] + _byte_hist(content)
+        except (ValueError, struct.error):
+            pass  # malformed JPEG → histogram fallback below
+    return _byte_hist(content)
 
 
 def extract_media_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:

@@ -223,3 +223,65 @@ def test_png_feature_extraction_through_spark(spark):
                for r in extract_media_features(df).collect()}
         assert [round(v, 6) for v in got[1]] == expected
         assert len(got[2]) == 8  # histogram stub path
+
+
+# ---- JPEG SOF metadata (round 4): real dimensions, no entropy decode ------
+
+
+def _encode_jpeg_header(w, h, nch, sof_marker=0xC0):
+    """Minimal structurally-valid JPEG: SOI, APP0(JFIF), COM, DQT-ish
+    filler, SOFn with the given frame dims, SOS + fake scan, EOI. The
+    metadata parser walks markers only — scan bytes need not decode."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFE, b"test comment")
+    sof = struct.pack(">BHHB", 8, h, w, nch)
+    for c in range(nch):
+        sof += bytes([c + 1, 0x11, 0])  # component id, sampling, qtable
+    out += seg(sof_marker, sof)
+    sos = bytes([nch]) + b"".join(bytes([c + 1, 0]) for c in range(nch)) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += b"\x12\x34\x56"  # fake entropy-coded scan
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_jpeg_dimensions_golden():
+    """jpeg_dimensions must read exact (w, h, channels) from the SOF header
+    across frame sizes, channel counts, and baseline/progressive variants."""
+    import pytest
+
+    from data_warehouse_etl_spark.functions.multimodal import jpeg_dimensions
+
+    for w, h, nch in [(1, 1, 1), (5, 7, 3), (640, 480, 3), (65500, 2, 1)]:
+        for sof in (0xC0, 0xC2):  # baseline and progressive
+            assert jpeg_dimensions(_encode_jpeg_header(w, h, nch, sof)) == (w, h, nch)
+    with pytest.raises(ValueError):
+        jpeg_dimensions(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        jpeg_dimensions(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame header
+
+
+def test_jpeg_feature_extraction_through_spark(spark):
+    """The JPEG branch runs inside mapInPandas: real [w, h, channels] from
+    the SOF header, histogram payload stub appended, at any partitioning."""
+    from data_warehouse_etl_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_image,
+        extract_media_features,
+    )
+
+    jpg = _encode_jpeg_header(31, 17, 3)
+    feat = _decode_image(jpg)
+    assert feat[:3] == [31.0, 17.0, 3.0] and len(feat) == 11
+    rows = [(1, "image", bytearray(jpg), "image/jpeg", 31, 17, None)]
+    for parts in (1, 4):
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(parts)
+        got = {r["media_id"]: list(r["feature"])
+               for r in extract_media_features(df).collect()}
+        assert [round(v, 6) for v in got[1]] == [round(v, 6) for v in feat]
