@@ -462,7 +462,7 @@ def _submit_run(
 
 def _submit_pair(
     ledger_path: str, n_events: int, execs_low: int, execs_high: int,
-    cores_per_exec: int = 4,
+    cores_per_exec: int = 2,
 ) -> dict:
     """The north rule's literal deployment shape (round 4 — VERDICT r3 item
     4): the SAME replay via ``spark-submit --py-files`` on a
@@ -483,16 +483,31 @@ def _submit_pair(
     if not submit:
         return {"skipped": "no spark-submit on this host"}
     zip_path = build(os.path.join(REPO, "dist", "data_warehouse_etl_spark.zip"))
-    mem_mb = 4096
+    # 2 cores per executor: the 4N side spans 8 host threads — inside this
+    # box's ~8-way deliverable capacity, so the pair measures the engine and
+    # not just steal (4-core executors at 4N = 16 threads were both past
+    # saturation AND flaky at 4096MB: transient vectored-read / blockmgr
+    # failures under memory pressure; 6144MB + 2 cores is reliable)
+    mem_mb = 6144
     runs = {}
     for n_exec in (execs_low, execs_high):
         cores = n_exec * cores_per_exec
-        r = _submit_run(
-            submit, zip_path, f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]",
-            ledger_path, os.path.join(REPO, ".bench", f"pages_submit_{n_exec}"),
-            batch_size=n_events, shuffle_partitions=max(cores * 4, 4),
-            cores_pin=f"0-{cores - 1}" if cores > 1 else "0",
-        )
+        last_err = None
+        for _attempt in range(2):  # executor cold-start IO is occasionally
+            try:                   # flaky (transient vectored-read error)
+                r = _submit_run(
+                    submit, zip_path,
+                    f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]",
+                    ledger_path,
+                    os.path.join(REPO, ".bench", f"pages_submit_{n_exec}"),
+                    batch_size=n_events, shuffle_partitions=max(cores * 4, 4),
+                    cores_pin=f"0-{cores - 1}" if cores > 1 else "0",
+                )
+                break
+            except RuntimeError as e:
+                last_err = e
+        else:
+            raise last_err
         r["cap_mops"] = round(cpu_capacity(cores), 1)
         runs[n_exec] = r
     lo, hi = runs[execs_low], runs[execs_high]

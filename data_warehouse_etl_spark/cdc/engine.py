@@ -766,6 +766,9 @@ class CdcEngine:
         cfg = self.cfg
         # enriched is cached before the bucket-discovery action so the
         # extract UDF and the dedup shuffle run exactly once per batch.
+        # TODO(non-default path): the bucket-discovery distinct() is an
+        # extra O(batch) pass CoW pays and MoR (the default) does not; a
+        # batch known to touch all buckets could skip it (affected = all).
         enriched = enriched.persist()
         try:
             bucket_of = self.pages.bucket_expr("url")

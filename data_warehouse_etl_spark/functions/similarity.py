@@ -28,6 +28,7 @@ import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _QUERY_VEC_ID = 0  # the probe vector: deterministic, part of the query definition
 
@@ -312,9 +313,103 @@ def build_srp_index(
     bucketed.write.mode("overwrite").partitionBy("srp_bucket").parquet(
         os.path.join(index_dir, "buckets")
     )
+    # assignments sidecar (vec_id -> bucket), partitioned the same way: the
+    # incremental upsert path (srp_index_upsert) uses it to find a CHANGED
+    # vector's OLD bucket without a corpus scan. Column-pruned read-back of
+    # the layout just written — no recompute of the hyperplane products.
+    spark.read.parquet(os.path.join(index_dir, "buckets")).select(
+        "vec_id", "srp_bucket"
+    ).write.mode("overwrite").partitionBy("srp_bucket").parquet(
+        os.path.join(index_dir, "assign")
+    )
     with open(marker, "w") as fh:
         fh.write(stamp)
     return index_dir
+
+
+def srp_index_upsert(
+    spark: SparkSession, index_dir: str, rows_df: DataFrame
+) -> list[int]:
+    """Incremental SRP-index maintenance (round 4): apply a batch of
+    new/changed vectors by rewriting ONLY the affected bucket partitions —
+    the CDC-upsert story the layout was designed for, made concrete.
+
+    Cost is O(changed buckets + assignment metadata), never O(corpus):
+
+    1. each upserted row is bucketed with the same hyperplane expression the
+       build used (bucket id is a pure function of the vector);
+    2. a changed vector's OLD bucket comes from the ``assign/`` sidecar
+       (vec_id -> srp_bucket, two ints per vector) via a broadcast semi-join
+       of the batch's ids — not from scanning the corpus layout;
+    3. only the union of old and new buckets is read (partition-pruned),
+       the batch's vec_ids are dropped (LWW: the incoming row wins), and the
+       batch is unioned in;
+    4. a DYNAMIC partition overwrite rewrites exactly those bucket dirs —
+       untouched partitions' files are not listed, read, or replaced;
+    5. the ``assign/`` partitions for the same buckets are refreshed the
+       same way.
+
+    A vector that MOVES buckets (its embedding changed) is thereby removed
+    from its old partition and written to its new one. Returns the affected
+    bucket ids. (Lake-analog: ``LakeTable.overwrite_buckets`` — this is the
+    same pruned-rewrite idiom on a plain parquet layout.)"""
+    buckets_path = os.path.join(index_dir, "buckets")
+    assign_path = os.path.join(index_dir, "assign")
+    if not os.path.exists(assign_path):  # index built before the sidecar existed
+        spark.read.parquet(buckets_path).select("vec_id", "srp_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("srp_bucket").parquet(assign_path)
+
+    rows_df.createOrReplaceTempView("srp_upsert_rows_v")
+    new = spark.sql(
+        f"SELECT *, CAST({_srp_bucket_spark('embedding')} AS INT) AS srp_bucket "
+        "FROM srp_upsert_rows_v"
+    ).localCheckpoint()  # tiny (one upsert batch); evaluated by 3 actions
+    ids = new.select("vec_id")
+    new_buckets = {
+        int(r["srp_bucket"]) for r in new.select("srp_bucket").distinct().collect()
+    }
+    old_buckets = {
+        int(r["srp_bucket"])
+        for r in spark.read.parquet(assign_path)
+        .join(F.broadcast(ids), "vec_id")
+        .select("srp_bucket")
+        .distinct()
+        .collect()
+    }
+    affected = sorted(new_buckets | old_buckets)
+
+    # read ONLY the affected partitions; localCheckpoint materializes the
+    # merged rows BEFORE the overwrite so the write never reads from the
+    # files it is replacing
+    merged = (
+        spark.read.parquet(buckets_path)
+        .filter(F.col("srp_bucket").isin(affected))
+        .join(F.broadcast(ids), "vec_id", "left_anti")
+        .unionByName(new)
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("srp_bucket").parquet(buckets_path)
+        merged.select("vec_id", "srp_bucket").write.mode("overwrite").partitionBy(
+            "srp_bucket"
+        ).parquet(assign_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # a bucket whose LAST vector moved away has no rows in `merged`, so the
+    # dynamic overwrite never touches its directory — drop the stale files
+    import shutil as _sh
+
+    present = {
+        int(r["srp_bucket"]) for r in merged.select("srp_bucket").distinct().collect()
+    }
+    for b in affected:
+        if b not in present:
+            _sh.rmtree(os.path.join(buckets_path, f"srp_bucket={b}"), ignore_errors=True)
+            _sh.rmtree(os.path.join(assign_path, f"srp_bucket={b}"), ignore_errors=True)
+    return affected
 
 
 def srp_query_bucket(spark, sf_dir: str) -> int:
@@ -328,13 +423,13 @@ def srp_query_bucket(spark, sf_dir: str) -> int:
     return int(row["b"])
 
 
-def srp_bucket_scan_df(spark, sf_dir: str, qbucket: int):
+def srp_bucket_scan_df(spark, sf_dir: str, qbucket: int, index_dir: str | None = None):
     """The pruned candidate pass: scan ONLY the probe's bucket of the
     partitioned-by-srp_bucket layout. The literal equality on the partition
     column is a static partition prune — ``.explain`` shows
     ``PartitionFilters: [srp_bucket = ...]`` and only that directory's files
     are read (asserted in tests/test_srp_index.py)."""
-    idx = build_srp_index(spark, sf_dir)
+    idx = index_dir or build_srp_index(spark, sf_dir)
     spark.read.parquet(os.path.join(idx, "buckets")).createOrReplaceTempView(
         "srp_buckets_v"
     )

@@ -48,3 +48,64 @@ def test_srp_indexed_equals_inline(spark):
     got = [tuple(r) for r in q_knn_lsh_srp(spark, SF_DIR).collect()]
     want = [tuple(r) for r in inline.collect()]
     assert got == want and len(got) == 10
+
+
+def test_srp_index_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """Incremental maintenance (round 4): an upsert batch with one NEW
+    vector and one MOVED vector (embedding changed -> bucket flips) must
+    rewrite exactly the affected bucket partitions — every other partition's
+    file set is untouched — and the pruned probe scan must see the new
+    state."""
+    from data_warehouse_etl_spark.functions.similarity import srp_index_upsert
+
+    idx = build_srp_index(spark, SF_DIR, index_dir=str(tmp_path / "srp"))
+    bdir = os.path.join(idx, "buckets")
+
+    def listing():
+        return {
+            d: sorted(f for f in os.listdir(os.path.join(bdir, d)) if f.endswith(".parquet"))
+            for d in os.listdir(bdir)
+            if d.startswith("srp_bucket=")
+        }
+
+    before = listing()
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    qb = srp_query_bucket(spark, SF_DIR)
+    # the probe vector's own embedding -> lands in the probe's bucket
+    v0 = list(emb.filter("vec_id = 0").first()["embedding"])
+    # a vector currently in the probe's bucket, to MOVE by negating its
+    # embedding (sign flips on every hyperplane -> complement bucket 15-qb)
+    mover = (
+        spark.read.parquet(bdir)
+        .filter(f"srp_bucket = {qb} AND vec_id <> 0")
+        .select("vec_id", "label", "embedding")
+        .first()
+    )
+    rows = [
+        (10**9, 0, v0),
+        (int(mover["vec_id"]), int(mover["label"]), [-x for x in mover["embedding"]]),
+    ]
+    new_df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    affected = srp_index_upsert(spark, idx, new_df)
+    assert qb in affected and (15 - qb) in affected
+
+    after = listing()
+    changed = {
+        d for d in set(before) | set(after) if before.get(d) != after.get(d)
+    }
+    assert changed == {f"srp_bucket={qb}", f"srp_bucket={15 - qb}"}, changed
+
+    # the probe's pruned scan now surfaces the new vector as the top hit
+    # (identical embedding to the probe -> cosine 1.0) and no longer the mover
+    got = srp_bucket_scan_df(spark, SF_DIR, qb, index_dir=idx).collect()
+    assert got[0]["vec_id"] == 10**9 and abs(got[0]["cosine"] - 1.0) < 1e-6
+    assert all(r["vec_id"] != mover["vec_id"] for r in got)
+    # the mover landed in its complement bucket with its new embedding
+    moved = (
+        spark.read.parquet(bdir)
+        .filter(f"srp_bucket = {15 - qb} AND vec_id = {int(mover['vec_id'])}")
+        .collect()
+    )
+    assert len(moved) == 1

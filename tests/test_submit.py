@@ -61,3 +61,24 @@ def test_spark_submit_pyfiles_replay(tmp_path):
     # byte-identical state at both parallelism levels — the north-rule check
     assert r8["state_hash"] == r2["state_hash"]
     assert r8["live_rows"] == r2["live_rows"]
+
+
+def test_spark_submit_local_cluster_multi_jvm(tmp_path):
+    """The bench's multi-executor-JVM proxy (round 4): the same submit on a
+    local-cluster master — separate executor JVMs, real serialized dispatch
+    — must replay end-to-end and reach the same state hash as local mode."""
+    from data_warehouse_etl_spark.cdc import LedgerSpec, generate_ledger
+    from tools.make_pyfiles import build
+
+    led = generate_ledger(
+        str(tmp_path / "changes"),
+        LedgerSpec(n_urls=300, n_events=3000, n_parts=2, seed=7, evolve_at_seq=1500),
+    )
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    r_local = _submit("local[2]", led.path, str(tmp_path / "pages_l"), zip_path)
+    r_lc = _submit(
+        "local-cluster[2,1,1536]", led.path, str(tmp_path / "pages_lc"), zip_path
+    )
+    assert r_lc["batches"] > 0 and r_lc["events_applied"] == 3000
+    assert r_lc["state_hash"] == r_local["state_hash"]
+    assert r_lc["live_rows"] == r_local["live_rows"]
