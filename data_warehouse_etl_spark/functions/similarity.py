@@ -177,6 +177,83 @@ def build_ivf_index(
     return index_dir
 
 
+def ivf_index_upsert(
+    spark: SparkSession, index_dir: str, rows_df: DataFrame
+) -> list[int]:
+    """Incremental IVF-index maintenance (round 4, the twin of
+    :func:`srp_index_upsert`): apply a batch of new/changed vectors by
+    rewriting ONLY the affected cell partitions, then refreshing ONLY those
+    cells' centroid rows. Cost is O(affected cells), never O(corpus).
+
+    The cell id here IS the ``label`` column carried by the row, so the new
+    cell needs no computation; a changed vector's OLD cell comes from the
+    ``assign/`` sidecar (vec_id -> label), built lazily for indexes created
+    before it existed. Centroids for the affected cells are recomputed from
+    the updated cell partitions with the SAME ROUND(AVG) construction the
+    build and the DuckDB oracle use (value-identical); untouched cells'
+    centroid rows carry over. Returns the affected cell labels."""
+    cells_path = os.path.join(index_dir, "cells")
+    assign_path = os.path.join(index_dir, "assign")
+    cents_path = os.path.join(index_dir, "centroids")
+    if not os.path.exists(assign_path):
+        spark.read.parquet(cells_path).select(
+            "vec_id", F.col("label").cast("int").alias("label")
+        ).write.mode("overwrite").partitionBy("label").parquet(assign_path)
+
+    new = rows_df.select(
+        "vec_id", F.col("label").cast("int").alias("label"), "embedding"
+    ).localCheckpoint()
+    ids = new.select("vec_id")
+    new_cells = {int(r["label"]) for r in new.select("label").distinct().collect()}
+    old_cells = {
+        int(r["label"])
+        for r in spark.read.parquet(assign_path)
+        .join(F.broadcast(ids), "vec_id")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    affected = sorted(new_cells | old_cells)
+
+    merged = (
+        spark.read.parquet(cells_path)
+        .select("vec_id", "embedding", F.col("label").cast("int").alias("label"))
+        .filter(F.col("label").isin(affected))
+        .join(F.broadcast(ids), "vec_id", "left_anti")
+        .unionByName(new)
+        .localCheckpoint()  # materialize BEFORE overwriting the files it read
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("label").parquet(cells_path)
+        merged.select("vec_id", "label").write.mode("overwrite").partitionBy(
+            "label"
+        ).parquet(assign_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    import shutil as _sh
+
+    present = {int(r["label"]) for r in merged.select("label").distinct().collect()}
+    emptied = [c for c in affected if c not in present]
+    for c in emptied:
+        _sh.rmtree(os.path.join(cells_path, f"label={c}"), ignore_errors=True)
+        _sh.rmtree(os.path.join(assign_path, f"label={c}"), ignore_errors=True)
+
+    # refresh ONLY the affected cells' centroid rows (tiny relation; the
+    # affected-cell scan is partition-pruned)
+    merged.createOrReplaceTempView("ivf_upsert_cells_v")
+    fresh = spark.sql(
+        "WITH "
+        + _centroids_spark("ivf_upsert_cells_v").strip()
+        + " SELECT label, cv FROM centroids"
+    )
+    kept = spark.read.parquet(cents_path).filter(~F.col("label").isin(affected))
+    cents = kept.unionByName(fresh.filter(F.col("label").isin(present))).localCheckpoint()
+    cents.write.mode("overwrite").parquet(cents_path)
+    return affected
+
+
 def ivf_probed_cells_df(spark, sf_dir: str, n_probe: int = 2):
     """Rank the centroid relation against the probe vector; top ``n_probe``
     cells. O(|cells|) rows — the relation IS the small probe set."""
