@@ -109,3 +109,44 @@ def test_srp_index_upsert_rewrites_only_affected_partitions(spark, tmp_path):
         .collect()
     )
     assert len(moved) == 1
+
+
+def test_srp_index_upsert_drops_emptied_bucket(spark, tmp_path):
+    """Edge: when an upsert moves EVERY vector out of a bucket, the dynamic
+    overwrite has no rows for that partition and would leave its stale files
+    — the upsert must drop the emptied directory (buckets/ and assign/) so
+    a later probe of that bucket sees nothing."""
+    from data_warehouse_etl_spark.functions.similarity import srp_index_upsert
+
+    idx = build_srp_index(spark, SF_DIR, index_dir=str(tmp_path / "srp"))
+    bdir = os.path.join(idx, "buckets")
+    smallest = min(
+        spark.read.parquet(bdir).groupBy("srp_bucket").count().collect(),
+        key=lambda r: r["count"],
+    )
+    b = int(smallest["srp_bucket"])
+    victims = (
+        spark.read.parquet(bdir)
+        .filter(f"srp_bucket = {b}")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    batch = [
+        (int(r["vec_id"]), int(r["label"]), [-x for x in r["embedding"]])
+        for r in victims
+    ]
+    new_df = spark.createDataFrame(
+        batch, "vec_id bigint, label int, embedding array<float>"
+    )
+    affected = srp_index_upsert(spark, idx, new_df)
+    assert b in affected and (15 - b) in affected
+    assert not os.path.exists(os.path.join(bdir, f"srp_bucket={b}"))
+    assert not os.path.exists(os.path.join(idx, "assign", f"srp_bucket={b}"))
+    # every victim landed in the complement bucket
+    ids = ", ".join(str(v[0]) for v in batch)
+    got = (
+        spark.read.parquet(bdir)
+        .filter(f"srp_bucket = {15 - b} AND vec_id IN ({ids})")
+        .count()
+    )
+    assert got == len(batch)
