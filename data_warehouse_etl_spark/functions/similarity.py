@@ -500,16 +500,22 @@ def srp_query_bucket(spark, sf_dir: str) -> int:
     return int(row["b"])
 
 
-def srp_bucket_scan_df(spark, sf_dir: str, qbucket: int, index_dir: str | None = None):
-    """The pruned candidate pass: scan ONLY the probe's bucket of the
-    partitioned-by-srp_bucket layout. The literal equality on the partition
+def srp_bucket_scan_df(spark, sf_dir: str, qbucket, index_dir: str | None = None):
+    """The pruned candidate pass: scan ONLY the probe's bucket(s) of the
+    partitioned-by-srp_bucket layout. The literal predicate on the partition
     column is a static partition prune — ``.explain`` shows
-    ``PartitionFilters: [srp_bucket = ...]`` and only that directory's files
-    are read (asserted in tests/test_srp_index.py)."""
+    ``PartitionFilters: [srp_bucket = ...]`` (or ``IN (...)`` for the
+    multiprobe set) and only those directories' files are read (asserted in
+    tests/test_srp_index.py). ``qbucket``: one bucket id or a collection."""
     idx = index_dir or build_srp_index(spark, sf_dir)
     spark.read.parquet(os.path.join(idx, "buckets")).createOrReplaceTempView(
         "srp_buckets_v"
     )
+    if isinstance(qbucket, (list, tuple, set, frozenset)):
+        in_list = ", ".join(str(int(b)) for b in sorted(set(qbucket)))
+        pred = f"e.srp_bucket IN ({in_list})"
+    else:
+        pred = f"e.srp_bucket = {int(qbucket)}"
     q_sql = (
         f"SELECT embedding AS qv FROM parquet.`{os.path.join(sf_dir, 'embeddings.parquet')}` "
         f"WHERE vec_id = {_QUERY_VEC_ID}"
@@ -521,7 +527,7 @@ def srp_bucket_scan_df(spark, sf_dir: str, qbucket: int, index_dir: str | None =
                ROUND({_cos_spark("e.embedding", "q.qv")}, 6) AS cosine,
                CAST(e.srp_bucket AS BIGINT) AS srp_bucket
         FROM srp_buckets_v e CROSS JOIN q
-        WHERE e.srp_bucket = {int(qbucket)} AND e.vec_id <> {_QUERY_VEC_ID}
+        WHERE {pred} AND e.vec_id <> {_QUERY_VEC_ID}
         ORDER BY {_cos_spark("e.embedding", "q.qv")} DESC, e.vec_id ASC
         LIMIT 10
         """
@@ -539,6 +545,51 @@ def q_knn_lsh_srp(spark, sf):
     runs; values are identical because the layout stores the same
     CAST(... AS INT) bucket the inline expression computes."""
     return srp_bucket_scan_df(spark, sf, srp_query_bucket(spark, sf))
+
+
+# multiprobe perturbation masks: the query's own bucket plus its four
+# Hamming-1 neighbors (flip one hyperplane sign each). Multiprobe LSH
+# (Lv et al., VLDB'07): near-miss neighbors most often differ in exactly
+# one bit, so probing the 1-bit perturbations recovers most of the recall
+# a single-bucket probe loses, at 5/16 of the corpus instead of 1/16.
+_MULTIPROBE_MASKS = (0, 1, 2, 4, 8)
+
+
+def _knn_lsh_multiprobe_sql(emb: str, cos, bucket_fn, xor_fn) -> str:
+    probes = ", ".join(
+        "qb.qbucket" if m == 0 else xor_fn("qb.qbucket", m) for m in _MULTIPROBE_MASKS
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM {emb} WHERE vec_id = {_QUERY_VEC_ID}),
+    qb AS (SELECT {bucket_fn("qv")} AS qbucket FROM q)
+    SELECT e.vec_id, e.label,
+           ROUND({cos("e.embedding", "q.qv")}, 6) AS cosine,
+           CAST({bucket_fn("e.embedding")} AS BIGINT) AS srp_bucket
+    FROM {emb} e CROSS JOIN q CROSS JOIN qb
+    WHERE {bucket_fn("e.embedding")} IN ({probes}) AND e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY {cos("e.embedding", "q.qv")} DESC, e.vec_id ASC
+    LIMIT 10
+    """
+
+
+def _xor_spark(a: str, b: int) -> str:
+    return f"({a} ^ {b})"
+
+
+def _xor_duck(a: str, b: int) -> str:
+    return f"xor({a}, {b})"
+
+
+def q_knn_lsh_multiprobe(spark, sf):
+    """Multiprobe SRP-LSH ANN: probe the query's bucket AND its Hamming-1
+    neighbor buckets (one flipped hyperplane each — see _MULTIPROBE_MASKS).
+    Runs against the same materialized partitionBy(srp_bucket) layout as
+    v4: the probe's bucket is a 1-row job, the candidate pass a statically
+    partition-pruned 5-of-16-partition scan (PartitionFilters IN). The
+    standard recall/cost dial between v4's single bucket and v1's full
+    scan; the inline form is what the DuckDB oracle runs."""
+    qb = srp_query_bucket(spark, sf)
+    return srp_bucket_scan_df(spark, sf, [qb ^ m for m in _MULTIPROBE_MASKS])
 
 
 def q_knn_ivf_probed(spark, sf):
@@ -580,6 +631,7 @@ SIM_QUERIES = {
     "v2_knn_ivf_probed": q_knn_ivf_probed,
     "v3_embedding_neardup": q_embedding_neardup,
     "v4_knn_lsh_srp": q_knn_lsh_srp,
+    "v5_knn_lsh_multiprobe": q_knn_lsh_multiprobe,
 }
 
 SIM_ORACLE = {
@@ -589,4 +641,7 @@ SIM_ORACLE = {
     ),
     "v3_embedding_neardup": _neardup_sql("embeddings", _cos_duck),
     "v4_knn_lsh_srp": _knn_lsh_sql("embeddings", _cos_duck, _srp_bucket_duck),
+    "v5_knn_lsh_multiprobe": _knn_lsh_multiprobe_sql(
+        "embeddings", _cos_duck, _srp_bucket_duck, _xor_duck
+    ),
 }

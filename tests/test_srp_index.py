@@ -150,3 +150,34 @@ def test_srp_index_upsert_drops_emptied_bucket(spark, tmp_path):
         .count()
     )
     assert got == len(batch)
+
+
+def test_srp_multiprobe_pruned_and_equals_inline(spark):
+    """v5 multiprobe: the candidate scan must be partition-pruned to the
+    probe's bucket plus its Hamming-1 neighbors (5 of 16 partitions), and
+    the indexed result must equal the self-contained inline (oracle) form."""
+    from data_warehouse_etl_spark.functions.similarity import (
+        _MULTIPROBE_MASKS,
+        _knn_lsh_multiprobe_sql,
+        _xor_spark,
+        q_knn_lsh_multiprobe,
+    )
+
+    qb = srp_query_bucket(spark, SF_DIR)
+    probes = sorted({qb ^ m for m in _MULTIPROBE_MASKS})
+    scan = srp_bucket_scan_df(spark, SF_DIR, probes)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "srp_bucket" in m.group(1) and " IN " in m.group(1), plan[:2000]
+
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings_v"
+    )
+    inline = spark.sql(
+        _knn_lsh_multiprobe_sql("embeddings_v", _cos_spark, _srp_bucket_spark, _xor_spark)
+    )
+    got = [tuple(r) for r in q_knn_lsh_multiprobe(spark, SF_DIR).collect()]
+    want = [tuple(r) for r in inline.collect()]
+    assert got == want and len(got) == 10
+    # multiprobe candidates are a superset of v4's single bucket
+    assert {r[3] for r in got} <= set(probes)

@@ -121,6 +121,12 @@ def main() -> int:
     ok &= audit("v4 srp scan partition-pruned", srp_scan,
                 want=["PartitionFilters: [isnotnull(srp_bucket#", f" = {qb})]"],
                 forbid=["CartesianProduct"])
+    # V5 multiprobe: same layout, IN-pruned to the Hamming-1 neighborhood
+    from data_warehouse_etl_spark.functions.similarity import _MULTIPROBE_MASKS
+    mp_scan = srp_bucket_scan_df(spark, sf, [qb ^ m for m in _MULTIPROBE_MASKS])
+    ok &= audit("v5 multiprobe scan partition-pruned", mp_scan,
+                want=["PartitionFilters: [", " IN ("],
+                forbid=["CartesianProduct"])
 
     # MoR read path: base+delta resolution is aggregation, never Window
     import tempfile
