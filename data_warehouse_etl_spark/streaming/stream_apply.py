@@ -274,9 +274,22 @@ class StreamingCdcApply:
         )
         return len(ready)
 
+    def _last_stream_id(self) -> int:
+        return int(
+            self.engine.pages.manifest.properties.get("last_stream_batch_id", "-1")
+        )
+
     def run_to_completion(self, timeout_s: int = 600) -> None:
+        before = self._last_stream_id()
         q = self.start(available_now=True)
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
         self.drain_deferred()
+        # cadence registry row, like the batch loop's run() (the streaming
+        # tail is the reference's "Run Time" frequency class)
+        self.engine.schedule.record(
+            os.path.basename(self.cfg.pages_path.rstrip("/")),
+            self.cfg.schedule_frequency,
+            self._last_stream_id() - before,
+        )

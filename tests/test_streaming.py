@@ -28,6 +28,9 @@ def test_stream_apply_matches_batch(spark, tmp_path):
     streaming.run_to_completion(timeout_s=300)
     h_stream = state_hash(streaming.engine.refresh_pages())
     assert h_stream == h_batch
+    # the streaming tail records a cadence-registry row like the batch loop
+    sched = streaming.engine.schedule.read(spark).collect()
+    assert len(sched) >= 1 and sched[0]["batches_applied"] >= 1
 
 
 def test_stream_apply_matches_batch_on_evolved_ledger(spark, tmp_path):
