@@ -258,6 +258,69 @@ def q_doc_fingerprint(spark, sf):
     return _run(spark, sf, _FPRINT_BODY.format(doc="documents_v"))
 
 
+# ------------------------------------------------------------- winnowing
+
+# positional word 3-grams (NOT deduped — winnowing needs gram order)
+_GRAMS_SPARK = """
+    toks AS (SELECT doc_id, split(text, ' ') AS t FROM {doc}),
+    grams AS (
+        SELECT doc_id, i, md5(concat_ws(' ', t[i], t[i+1], t[i+2])) AS h
+        FROM (SELECT doc_id, t, explode(sequence(0, size(t)-3)) AS i
+              FROM toks WHERE size(t) >= 3))
+"""
+
+_GRAMS_DUCK = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {doc}),
+    grams AS (
+        SELECT doc_id, i, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+              FROM toks WHERE len(t) >= 3))
+"""
+
+_WINNOW_W = 4  # window width over gram hashes; guarantee length = W + k - 1 words
+
+_WINNOW_BODY = """
+    , wfp AS (
+        SELECT doc_id, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS fp,
+               MAX(i) OVER (PARTITION BY doc_id) AS max_i
+        FROM grams),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wfp WHERE i <= max_i - {wm1}),
+    keep AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(*) <= (SELECT GREATEST(25.0, 0.02 * COUNT(*)) FROM {doc})),
+    fpk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep ON fps.fp = keep.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+"""
+
+
+def q_winnow_fingerprint(spark, sf):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS local-fingerprinting algorithm): hash every positional word 3-gram,
+    slide a window of 4 consecutive hashes, keep each window's MINIMUM —
+    any shared passage of >= 6 words between two documents is GUARANTEED to
+    contribute a shared fingerprint, while only ~2/(w+1) of grams are kept.
+    Pairs sharing >= 3 selected fingerprints are near-dup/containment
+    candidates. Scale shape: the per-doc window MIN partitions by doc_id
+    (no global sort), the pair join is keyed on the fingerprint with the
+    same DF cap as d2 (hot boilerplate fingerprints are dropped before the
+    join) — |bucket|²-bounded, never corpus². Complements d2-d4: winnowing
+    finds PARTIAL overlap (plagiarism/containment), not whole-doc
+    similarity."""
+    return _run(
+        spark,
+        sf,
+        "WITH "
+        + _GRAMS_SPARK.format(doc="documents_v")
+        + _WINNOW_BODY.format(doc="documents_v", wm1=_WINNOW_W - 1),
+    )
+
+
 # ----------------------------------------------------------------- quality
 
 
@@ -359,6 +422,7 @@ TEXT_QUERIES = {
     "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "d4_dedup_simhash": q_dedup_simhash,
     "d5_doc_fingerprint": q_doc_fingerprint,
+    "d9_winnow_fingerprint": q_winnow_fingerprint,
     "d6_text_quality": q_text_quality,
     "d7_lang_id": q_lang_id,
     "d8_token_count": q_token_count,
@@ -374,6 +438,9 @@ TEXT_ORACLE = {
         "documents", "unnest(string_split(text, ' '))", _BANDEX_DUCK
     ),
     "d5_doc_fingerprint": _FPRINT_BODY.format(doc="documents"),
+    "d9_winnow_fingerprint": "WITH "
+    + _GRAMS_DUCK.format(doc="documents")
+    + _WINNOW_BODY.format(doc="documents", wm1=_WINNOW_W - 1),
     "d6_text_quality": _QUALITY_BODY.format(
         doc="documents", size_fn="len(string_split(text, ' '))", stop_expr=_stop_expr()
     ),

@@ -204,3 +204,36 @@ def test_engine_hot_detection_cadence_state_invariant(spark, tmp_path):
     )
     plain.run()
     assert state_hash(det.read_pages()) == state_hash(plain.read_pages())
+
+
+def test_winnow_guarantee_shared_passage(spark):
+    """Winnowing (round 4): two documents sharing a passage of >= w+k-1 = 6
+    words MUST share at least one selected fingerprint (the winnowing
+    guarantee), and a document with no 6-word overlap must not pair with
+    either. Run on a synthetic 3-doc corpus where the answer is known."""
+    from data_warehouse_etl_spark.functions.textops import (
+        _GRAMS_SPARK,
+        _WINNOW_BODY,
+        _WINNOW_W,
+    )
+
+    shared = "seventeen sleepy pandas eat fresh green bamboo stalks daily"
+    a = ("intro words before the common part " + shared
+         + " and a completely different tail about mountain weather patterns")
+    b = ("another opening sentence leads into " + shared
+         + " then diverges toward discussion of harbor tide schedules")
+    c = ("compiler register allocation with graph coloring heuristics and "
+         "spill cost models on superscalar processors executing speculative "
+         "micro operations in deep pipelines with branch prediction tables")
+    df = spark.createDataFrame(
+        [(1, a, "s"), (2, b, "s"), (3, c, "s")], "doc_id long, text string, source string"
+    )
+    df.createOrReplaceTempView("winnow_docs_t")
+    sql = (
+        "WITH "
+        + _GRAMS_SPARK.format(doc="winnow_docs_t")
+        + _WINNOW_BODY.format(doc="winnow_docs_t", wm1=_WINNOW_W - 1)
+    ).replace("HAVING COUNT(*) >= 3", "HAVING COUNT(*) >= 1")
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_fps"] for r in spark.sql(sql).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1, pairs
+    assert all(3 not in p for p in pairs), pairs
