@@ -28,7 +28,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return PARITY_QUERIES["m2_cdc_lww_replay"](spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver's correctness gate checks the first 50 ``queries()`` entries.
+# The full surface is 53; these three parity entries are RETIRED from the
+# driver window (round 5) so every registered query gets a driver row —
+# each is a near-duplicate of a surviving family member and stays
+# implemented, exported, and continuously oracle-checked by
+# tests/test_retired_parity.py + tools/compare_oracle.py --all:
+#   j3_right_join      — mirror of j2_left_enrich with sides swapped
+#   j8_theta_join      — j1/j2 equi-join on a cast-derived key
+#   a10_weighted_score — arithmetic projection over a2-style flag aggregate
+RETIRED: frozenset[str] = frozenset(
+    {"j3_right_join", "j8_theta_join", "a10_weighted_score"}
+)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every implemented query, including driver-retired ones (used by
+    tools/compare_oracle.py and the retired-parity pytest)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(PARITY_QUERIES)
     out.update(TEXT_QUERIES)
@@ -36,9 +52,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-def oracle_sql() -> dict[str, str]:
+def all_oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(PARITY_ORACLE)
     out.update(TEXT_ORACLE)
     out.update(SIM_ORACLE)
     return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: q for n, q in all_queries().items() if n not in RETIRED}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s for n, s in all_oracle_sql().items() if n not in RETIRED}
