@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -300,12 +301,20 @@ class CdcEngine:
             self.flush_mirrors()
             # cadence registry: one observational row per run (driver-side
             # append, no Spark job) — process identity + declared frequency
-            # + completion time, the reference's Schedule-Frequency surface
-            self.schedule.record(
-                os.path.basename(self.cfg.pages_path.rstrip("/")),
-                self.cfg.schedule_frequency,
-                applied,
-            )
+            # + completion time, the reference's Schedule-Frequency surface.
+            # Best-effort by contract (schedule.py: "the data path's
+            # exactly-once guarantee never depends on it"): a failure here
+            # (e.g. commit-lock contention from a concurrent process) must
+            # neither mask an in-flight data-path exception nor fail an
+            # otherwise-successful run.
+            try:
+                self.schedule.record(
+                    os.path.basename(self.cfg.pages_path.rstrip("/")),
+                    self.cfg.schedule_frequency,
+                    applied,
+                )
+            except (OSError, RuntimeError) as e:
+                print(f"WARN: schedule registry write skipped: {e}", file=sys.stderr)
         return applied
 
     def compact(self, buckets: list[int] | None = None) -> None:

@@ -25,7 +25,10 @@ IEEE result; outputs are additionally rounded to 6 places.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -177,44 +180,83 @@ def build_ivf_index(
     return index_dir
 
 
-def ivf_index_upsert(
-    spark: SparkSession, index_dir: str, rows_df: DataFrame
-) -> list[int]:
-    """Incremental IVF-index maintenance (round 4, the twin of
-    :func:`srp_index_upsert`): apply a batch of new/changed vectors by
-    rewriting ONLY the affected cell partitions, then refreshing ONLY those
-    cells' centroid rows. Cost is O(affected cells), never O(corpus).
+# --- crash-safe upsert redo log (round 5, advisor finding) ---------------
+# An index upsert is a multi-step rewrite (layout partitions, assign/
+# sidecar, IVF centroids). A crash mid-sequence would leave the sidecar
+# stale, so a LATER upsert of the same vector would compute the wrong
+# old-bucket set and duplicate the vector across partitions. Fix: before
+# touching any file, the bucketed batch is persisted to ``_pending/`` and a
+# ``_pending.json`` marker (affected-partition list) is committed with an
+# atomic rename. The apply step is a pure function of (pending batch,
+# affected list) and is idempotent — it drops the batch's vec_ids from
+# every affected partition before unioning the batch back in — so the next
+# upsert call detects a leftover marker and simply REDOES the interrupted
+# apply before processing its own batch. The marker is removed only after
+# the full sequence (including emptied-partition cleanup) completes.
 
-    The cell id here IS the ``label`` column carried by the row, so the new
-    cell needs no computation; a changed vector's OLD cell comes from the
-    ``assign/`` sidecar (vec_id -> label), built lazily for indexes created
-    before it existed. Centroids for the affected cells are recomputed from
-    the updated cell partitions with the SAME ROUND(AVG) construction the
-    build and the DuckDB oracle use (value-identical); untouched cells'
-    centroid rows carry over. Returns the affected cell labels."""
+
+def _redo_paths(index_dir: str) -> tuple[str, str]:
+    return os.path.join(index_dir, "_pending"), os.path.join(index_dir, "_pending.json")
+
+
+def _write_redo(index_dir: str, new: DataFrame, affected: list[int]) -> None:
+    pend, meta = _redo_paths(index_dir)
+    new.write.mode("overwrite").parquet(pend)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"affected": affected}, fh)
+    os.replace(tmp, meta)  # the redo record's commit point
+
+
+def _clear_redo(index_dir: str) -> None:
+    pend, meta = _redo_paths(index_dir)
+    try:
+        os.unlink(meta)
+    except OSError:
+        pass
+    shutil.rmtree(pend, ignore_errors=True)
+
+
+def _invalidate_built_from(index_dir: str) -> None:
+    """An upserted index no longer mirrors the source parquet it was built
+    from, so the idempotence stamp must not keep claiming it does (advisor
+    finding: the default shared index would otherwise serve upserted state
+    to parity queries whose DuckDB oracle reads the source). Dropping the
+    stamp makes the next ``build_*_index(force=False)`` resync from source.
+    The upsert contract at scale is CDC-transactional: the source table is
+    updated in the same batch, and the maintained index is probed via its
+    explicit ``index_dir``."""
+    marker = os.path.join(index_dir, "_built_from.txt")
+    if os.path.exists(marker):
+        with open(marker, "w") as fh:
+            fh.write(f"upserted:{uuid.uuid4().hex}")
+
+
+def _heal_torn_upsert(spark: SparkSession, index_dir: str, apply_fn) -> bool:
+    """If a previous upsert crashed mid-apply (marker present), redo it from
+    the persisted pending batch. Returns True if a heal ran."""
+    pend, meta = _redo_paths(index_dir)
+    if not os.path.exists(meta):
+        return False
+    with open(meta) as fh:
+        affected = json.load(fh)["affected"]
+    new = spark.read.parquet(pend).localCheckpoint()
+    apply_fn(spark, index_dir, new, affected)
+    _clear_redo(index_dir)
+    _invalidate_built_from(index_dir)
+    return True
+
+
+def _apply_ivf_upsert(
+    spark: SparkSession, index_dir: str, new: DataFrame, affected: list[int]
+) -> None:
+    """Idempotent apply: rewrite the affected cell partitions (batch ids
+    dropped everywhere, batch unioned in), refresh assign/ and the affected
+    centroid rows, drop emptied partitions."""
     cells_path = os.path.join(index_dir, "cells")
     assign_path = os.path.join(index_dir, "assign")
     cents_path = os.path.join(index_dir, "centroids")
-    if not os.path.exists(assign_path):
-        spark.read.parquet(cells_path).select(
-            "vec_id", F.col("label").cast("int").alias("label")
-        ).write.mode("overwrite").partitionBy("label").parquet(assign_path)
-
-    new = rows_df.select(
-        "vec_id", F.col("label").cast("int").alias("label"), "embedding"
-    ).localCheckpoint()
     ids = new.select("vec_id")
-    new_cells = {int(r["label"]) for r in new.select("label").distinct().collect()}
-    old_cells = {
-        int(r["label"])
-        for r in spark.read.parquet(assign_path)
-        .join(F.broadcast(ids), "vec_id")
-        .select("label")
-        .distinct()
-        .collect()
-    }
-    affected = sorted(new_cells | old_cells)
-
     merged = (
         spark.read.parquet(cells_path)
         .select("vec_id", "embedding", F.col("label").cast("int").alias("label"))
@@ -232,13 +274,12 @@ def ivf_index_upsert(
         ).parquet(assign_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    import shutil as _sh
 
     present = {int(r["label"]) for r in merged.select("label").distinct().collect()}
-    emptied = [c for c in affected if c not in present]
-    for c in emptied:
-        _sh.rmtree(os.path.join(cells_path, f"label={c}"), ignore_errors=True)
-        _sh.rmtree(os.path.join(assign_path, f"label={c}"), ignore_errors=True)
+    for c in affected:
+        if c not in present:
+            shutil.rmtree(os.path.join(cells_path, f"label={c}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(assign_path, f"label={c}"), ignore_errors=True)
 
     # refresh ONLY the affected cells' centroid rows (tiny relation; the
     # affected-cell scan is partition-pruned)
@@ -251,6 +292,56 @@ def ivf_index_upsert(
     kept = spark.read.parquet(cents_path).filter(~F.col("label").isin(affected))
     cents = kept.unionByName(fresh.filter(F.col("label").isin(present))).localCheckpoint()
     cents.write.mode("overwrite").parquet(cents_path)
+
+
+def ivf_index_upsert(
+    spark: SparkSession, index_dir: str, rows_df: DataFrame
+) -> list[int]:
+    """Incremental IVF-index maintenance (round 4, the twin of
+    :func:`srp_index_upsert`): apply a batch of new/changed vectors by
+    rewriting ONLY the affected cell partitions, then refreshing ONLY those
+    cells' centroid rows. Cost is O(affected cells), never O(corpus).
+
+    The cell id here IS the ``label`` column carried by the row, so the new
+    cell needs no computation; a changed vector's OLD cell comes from the
+    ``assign/`` sidecar (vec_id -> label), built lazily for indexes created
+    before it existed. Centroids for the affected cells are recomputed from
+    the updated cell partitions with the SAME ROUND(AVG) construction the
+    build and the DuckDB oracle use (value-identical); untouched cells'
+    centroid rows carry over. Returns the affected cell labels.
+
+    Crash-safe via the redo log (round 5): the bucketed batch and affected
+    list are persisted before any rewrite, and a torn previous upsert is
+    healed (redone) on entry — see ``_write_redo``/``_heal_torn_upsert``.
+    On success the source-mtime build stamp is invalidated
+    (``_invalidate_built_from``) since the index no longer mirrors its
+    build source."""
+    cells_path = os.path.join(index_dir, "cells")
+    assign_path = os.path.join(index_dir, "assign")
+    if not os.path.exists(assign_path):
+        spark.read.parquet(cells_path).select(
+            "vec_id", F.col("label").cast("int").alias("label")
+        ).write.mode("overwrite").partitionBy("label").parquet(assign_path)
+    _heal_torn_upsert(spark, index_dir, _apply_ivf_upsert)
+
+    new = rows_df.select(
+        "vec_id", F.col("label").cast("int").alias("label"), "embedding"
+    ).localCheckpoint()
+    ids = new.select("vec_id")
+    new_cells = {int(r["label"]) for r in new.select("label").distinct().collect()}
+    old_cells = {
+        int(r["label"])
+        for r in spark.read.parquet(assign_path)
+        .join(F.broadcast(ids), "vec_id")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    affected = sorted(new_cells | old_cells)
+    _write_redo(index_dir, new, affected)
+    _apply_ivf_upsert(spark, index_dir, new, affected)
+    _clear_redo(index_dir)
+    _invalidate_built_from(index_dir)
     return affected
 
 
@@ -429,13 +520,21 @@ def srp_index_upsert(
     A vector that MOVES buckets (its embedding changed) is thereby removed
     from its old partition and written to its new one. Returns the affected
     bucket ids. (Lake-analog: ``LakeTable.overwrite_buckets`` — this is the
-    same pruned-rewrite idiom on a plain parquet layout.)"""
+    same pruned-rewrite idiom on a plain parquet layout.)
+
+    Crash-safe via the redo log (round 5): the bucketed batch and affected
+    list are persisted before any rewrite, and a torn previous upsert is
+    healed (redone) on entry — see ``_write_redo``/``_heal_torn_upsert``.
+    On success the source-mtime build stamp is invalidated
+    (``_invalidate_built_from``) since the index no longer mirrors its
+    build source."""
     buckets_path = os.path.join(index_dir, "buckets")
     assign_path = os.path.join(index_dir, "assign")
     if not os.path.exists(assign_path):  # index built before the sidecar existed
         spark.read.parquet(buckets_path).select("vec_id", "srp_bucket").write.mode(
             "overwrite"
         ).partitionBy("srp_bucket").parquet(assign_path)
+    _heal_torn_upsert(spark, index_dir, _apply_srp_upsert)
 
     rows_df.createOrReplaceTempView("srp_upsert_rows_v")
     new = spark.sql(
@@ -455,7 +554,22 @@ def srp_index_upsert(
         .collect()
     }
     affected = sorted(new_buckets | old_buckets)
+    _write_redo(index_dir, new, affected)
+    _apply_srp_upsert(spark, index_dir, new, affected)
+    _clear_redo(index_dir)
+    _invalidate_built_from(index_dir)
+    return affected
 
+
+def _apply_srp_upsert(
+    spark: SparkSession, index_dir: str, new: DataFrame, affected: list[int]
+) -> None:
+    """Idempotent apply (see ``_apply_ivf_upsert``): rewrite the affected
+    bucket partitions with the batch's ids dropped everywhere and the batch
+    unioned in, refresh assign/, drop emptied partitions."""
+    buckets_path = os.path.join(index_dir, "buckets")
+    assign_path = os.path.join(index_dir, "assign")
+    ids = new.select("vec_id")
     # read ONLY the affected partitions; localCheckpoint materializes the
     # merged rows BEFORE the overwrite so the write never reads from the
     # files it is replacing
@@ -477,16 +591,13 @@ def srp_index_upsert(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # a bucket whose LAST vector moved away has no rows in `merged`, so the
     # dynamic overwrite never touches its directory — drop the stale files
-    import shutil as _sh
-
     present = {
         int(r["srp_bucket"]) for r in merged.select("srp_bucket").distinct().collect()
     }
     for b in affected:
         if b not in present:
-            _sh.rmtree(os.path.join(buckets_path, f"srp_bucket={b}"), ignore_errors=True)
-            _sh.rmtree(os.path.join(assign_path, f"srp_bucket={b}"), ignore_errors=True)
-    return affected
+            shutil.rmtree(os.path.join(buckets_path, f"srp_bucket={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(assign_path, f"srp_bucket={b}"), ignore_errors=True)
 
 
 def srp_query_bucket(spark, sf_dir: str) -> int:

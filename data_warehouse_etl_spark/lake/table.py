@@ -462,6 +462,18 @@ class LakeTable:
                     except OSError:
                         continue  # moved file vanished; re-examine
                     if fresh:
+                        # Known availability-only window (round-5 advisor
+                        # note): if the live holder releases (unlinks) its
+                        # lock between our rename and this os.link, the
+                        # holder's unlink hits ENOENT (swallowed in its
+                        # finally) and the restore resurrects an orphaned
+                        # lock that blocks committers with RuntimeError
+                        # until it ages out (_LOCK_STALE_S). No correctness
+                        # impact — commits are still guarded by the
+                        # pointer-version CAS — and the window is the
+                        # microseconds between two syscalls; eliminating it
+                        # would need holders to release by renaming an
+                        # fd-identified token they own rather than by path.
                         try:
                             os.link(stale, lock)
                             os.unlink(stale)

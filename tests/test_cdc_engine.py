@@ -266,3 +266,19 @@ def test_schedule_registry_records_runs(spark, ledger, tmp_path):
     assert sorted(r["batches_applied"] for r in rows) == [0, n1]
     latest = eng.schedule.latest(spark).collect()
     assert len(latest) == 1 and latest[0]["batches_applied"] == 0
+
+
+def test_schedule_registry_failure_never_masks_run(spark, ledger, tmp_path):
+    """Round-5 advisor fix: the cadence registry is observational — a
+    failure writing it (e.g. commit-lock contention from a concurrent
+    process) must neither fail an otherwise-successful run() nor mask the
+    data path's own exception."""
+    eng = _mk_engine(spark, ledger, tmp_path, batch_size=2000)
+
+    def boom(*a, **kw):
+        raise RuntimeError("concurrent commit in progress (_schedule lock held)")
+
+    eng.schedule.record = boom
+    n = eng.run()  # must complete despite the registry write failing
+    assert n > 0
+    assert eng.read_pages().count() > 0

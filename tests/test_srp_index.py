@@ -181,3 +181,113 @@ def test_srp_multiprobe_pruned_and_equals_inline(spark):
     assert got == want and len(got) == 10
     # multiprobe candidates are a superset of v4's single bucket
     assert {r[3] for r in got} <= set(probes)
+
+
+def test_srp_upsert_heals_torn_state(spark, tmp_path):
+    """Round-5 advisor fix: a crash between the buckets/ overwrite and the
+    assign/ sidecar overwrite used to leave assign stale, so a LATER upsert
+    of the same vector computed the wrong old-bucket set and the vector
+    ended up duplicated across two bucket partitions. The redo log
+    (_pending + _pending.json) must let the next upsert detect and redo the
+    interrupted apply, leaving exactly one copy of every vector."""
+    import shutil
+
+    from data_warehouse_etl_spark.functions.similarity import (
+        _redo_paths,
+        srp_index_upsert,
+    )
+
+    idx = build_srp_index(spark, SF_DIR, index_dir=str(tmp_path / "srp"))
+    bdir = os.path.join(idx, "buckets")
+    qb = srp_query_bucket(spark, SF_DIR)
+    mover = (
+        spark.read.parquet(bdir)
+        .filter(f"srp_bucket = {qb}")
+        .select("vec_id", "label", "embedding")
+        .first()
+    )
+    batch1 = spark.createDataFrame(
+        [(int(mover["vec_id"]), int(mover["label"]), [-x for x in mover["embedding"]])],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+
+    # simulate the torn state: run the full upsert, then restore the OLD
+    # assign/ sidecar and resurrect the redo record — exactly the on-disk
+    # state of a crash after the buckets/ write and before the assign/ write
+    assign = os.path.join(idx, "assign")
+    assign_backup = str(tmp_path / "assign_old")
+    shutil.copytree(assign, assign_backup)
+    affected1 = srp_index_upsert(spark, idx, batch1)
+    shutil.rmtree(assign)
+    shutil.copytree(assign_backup, assign)
+    pend, meta = _redo_paths(idx)
+    batch1.selectExpr(
+        "*", f"CAST({_srp_bucket_spark('embedding')} AS INT) AS srp_bucket"
+    ).write.mode("overwrite").parquet(pend)
+    import json as _json
+
+    with open(meta, "w") as fh:
+        _json.dump({"affected": affected1}, fh)
+
+    # upsert the same vector again (back to its original embedding): without
+    # healing, the stale assign says it still lives in qb, missing the copy
+    # in 15-qb -> duplicate. With healing the redo runs first.
+    batch2 = spark.createDataFrame(
+        [(int(mover["vec_id"]), int(mover["label"]), list(mover["embedding"]))],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    srp_index_upsert(spark, idx, batch2)
+    assert not os.path.exists(meta) and not os.path.exists(pend)
+
+    dups = (
+        spark.read.parquet(bdir)
+        .groupBy("vec_id")
+        .count()
+        .filter("count > 1")
+        .collect()
+    )
+    assert dups == []
+    back = (
+        spark.read.parquet(bdir)
+        .filter(f"vec_id = {int(mover['vec_id'])}")
+        .collect()
+    )
+    assert len(back) == 1 and int(back[0]["srp_bucket"]) == qb
+    # assign sidecar agrees with the layout again
+    arow = (
+        spark.read.parquet(os.path.join(idx, "assign"))
+        .filter(f"vec_id = {int(mover['vec_id'])}")
+        .collect()
+    )
+    assert len(arow) == 1 and int(arow[0]["srp_bucket"]) == qb
+
+
+def test_srp_upsert_invalidates_build_stamp(spark, tmp_path):
+    """Round-5 advisor fix: after an upsert the index no longer mirrors the
+    source parquet, so the build stamp must stop claiming it does — the next
+    default build_srp_index() resyncs from source and parity queries stay
+    value-identical with the DuckDB oracle (which always reads the source)."""
+    from data_warehouse_etl_spark.functions.similarity import srp_index_upsert
+
+    idx = build_srp_index(spark, SF_DIR, index_dir=str(tmp_path / "srp"))
+    marker = os.path.join(idx, "_built_from.txt")
+    stamp0 = open(marker).read()
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    v0 = list(emb.filter("vec_id = 0").first()["embedding"])
+    srp_index_upsert(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(10**9, 0, v0)], "vec_id bigint, label int, embedding array<float>"
+        ),
+    )
+    assert open(marker).read().startswith("upserted:")
+    # a rebuild resyncs from source: stamp restored, upserted vector gone
+    build_srp_index(spark, SF_DIR, index_dir=idx)
+    assert open(marker).read() == stamp0
+    assert (
+        spark.read.parquet(os.path.join(idx, "buckets"))
+        .filter("vec_id = 1000000000")
+        .count()
+        == 0
+    )
