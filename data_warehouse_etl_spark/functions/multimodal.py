@@ -171,6 +171,91 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF marker")
 
 
+def wav_metadata(data: bytes) -> tuple[int, int, int, int]:
+    """REAL WAV/RIFF metadata (round 5, mirroring the JPEG SOF approach):
+    walk the RIFF chunks to ``fmt `` and ``data`` and return (channels,
+    sample_rate, bits_per_sample, duration_ms) — pure stdlib, no sample
+    decode needed for metadata. duration = data-chunk bytes / byte-rate.
+    Raises ValueError on non-WAV / truncated / chunk-less streams."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _tag, nch, rate, byte_rate, _block, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            fmt = (nch, rate, byte_rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt /data chunk")
+    nch, rate, byte_rate, bits = fmt
+    if byte_rate == 0:
+        raise ValueError("zero byte rate")
+    return nch, rate, bits, int(round(data_size * 1000 / byte_rate))
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, body_start, box_end) for ISO-BMFF boxes in [pos, end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("bad box size")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_metadata(data: bytes) -> tuple[int, int, int]:
+    """REAL MP4/ISO-BMFF metadata (round 5): walk the box tree to
+    ``moov/mvhd`` for (timescale, duration) — both fullbox versions — and to
+    the first ``moov/trak/tkhd`` with nonzero dimensions for the 16.16
+    fixed-point width/height. Returns (duration_ms, width, height); pure
+    stdlib, no codec work. Raises ValueError on non-MP4 / missing moov."""
+    moov = None
+    for typ, s, e in _mp4_boxes(data, 0, len(data)):
+        if typ == b"moov":
+            moov = (s, e)
+            break
+    if moov is None:
+        raise ValueError("no moov box")
+    duration_ms = None
+    width = height = 0
+    for typ, s, e in _mp4_boxes(data, *moov):
+        if typ == b"mvhd":
+            ver = data[s]
+            if ver == 1:  # 64-bit times: creation/modification are 8 bytes
+                timescale, dur = struct.unpack(">IQ", data[s + 20 : s + 32])
+            else:
+                timescale, dur = struct.unpack(">II", data[s + 12 : s + 20])
+            if timescale:
+                duration_ms = int(round(dur * 1000 / timescale))
+        elif typ == b"trak" and (width, height) == (0, 0):
+            for t2, _s2, e2 in _mp4_boxes(data, s, e):
+                # tkhd width/height are the LAST 8 bytes of the box in both
+                # fullbox versions (16.16 fixed point)
+                if t2 == b"tkhd":
+                    w16, h16 = struct.unpack(">II", data[e2 - 8 : e2])
+                    width, height = w16 >> 16, h16 >> 16
+                    break
+    if duration_ms is None:
+        raise ValueError("no mvhd")
+    return duration_ms, width, height
+
+
 def _byte_hist(content: bytes) -> list[float]:
     """Deterministic 8-bucket byte histogram — the clearly-marked payload
     STUB for codecs whose pixel/sample decode needs libraries this container
@@ -212,6 +297,37 @@ def _decode_image(content: bytes) -> list[float]:
     return _byte_hist(content)
 
 
+def _decode_audio(content: bytes) -> list[float]:
+    """Audio → [channels, sample_rate, bits, duration_ms] from REAL
+    WAV/RIFF headers (round 5) + the byte-histogram payload stub (sample
+    decode of compressed codecs needs libraries this container cannot
+    install). Non-WAV: histogram stub alone."""
+    try:
+        nch, rate, bits, dur = wav_metadata(content)
+        return [float(nch), float(rate), float(bits), float(dur)] + _byte_hist(content)
+    except (ValueError, struct.error):
+        return _byte_hist(content)
+
+
+def _decode_video(content: bytes) -> list[float]:
+    """Video → [duration_ms, width, height] from REAL MP4 moov metadata
+    (round 5) + the byte-histogram payload stub (frame decode needs av).
+    Non-MP4: histogram stub alone."""
+    try:
+        dur, w, h = mp4_metadata(content)
+        return [float(dur), float(w), float(h)] + _byte_hist(content)
+    except (ValueError, struct.error):
+        return _byte_hist(content)
+
+
+def _decode_media(kind: str, content: bytes) -> list[float]:
+    if kind == "audio":
+        return _decode_audio(content)
+    if kind == "video":
+        return _decode_video(content)
+    return _decode_image(content)
+
+
 def extract_media_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     """media rows → small feature rows via mapInPandas (batch iterator in,
     batch iterator out; blobs never collected)."""
@@ -228,9 +344,10 @@ def extract_media_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                     "content_hash": content.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
                     ),
-                    "feature": content.map(
-                        lambda b: _decode_image(bytes(b)) if b is not None else None
-                    ),
+                    "feature": [
+                        _decode_media(k, bytes(b)) if b is not None else None
+                        for k, b in zip(pdf["kind"], content)
+                    ],
                 }
             )
 

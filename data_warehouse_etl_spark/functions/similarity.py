@@ -345,10 +345,12 @@ def ivf_index_upsert(
     return affected
 
 
-def ivf_probed_cells_df(spark, sf_dir: str, n_probe: int = 2):
+def ivf_probed_cells_df(spark, sf_dir: str, n_probe: int = 2, index_dir: str | None = None):
     """Rank the centroid relation against the probe vector; top ``n_probe``
-    cells. O(|cells|) rows — the relation IS the small probe set."""
-    idx = build_ivf_index(spark, sf_dir)
+    cells. O(|cells|) rows — the relation IS the small probe set.
+    ``index_dir``: probe an explicit (e.g. incrementally-upserted) layout
+    instead of the default source-synchronized one."""
+    idx = index_dir or build_ivf_index(spark, sf_dir)
     spark.read.parquet(os.path.join(idx, "centroids")).createOrReplaceTempView(
         "ivf_centroids_v"
     )
@@ -365,13 +367,14 @@ def ivf_probed_cells_df(spark, sf_dir: str, n_probe: int = 2):
     )
 
 
-def ivf_cell_scan_df(spark, sf_dir: str, labels: list[int]):
+def ivf_cell_scan_df(spark, sf_dir: str, labels: list[int], index_dir: str | None = None):
     """The pruned second pass: scan ONLY the probed cells of the
     partitioned-by-label index layout. The literal IN over the partition
     column is a static partition prune — ``.explain`` shows
     ``PartitionFilters: [label IN (...)]`` and only those directories'
-    files are read (asserted in tests/test_ivf_index.py)."""
-    idx = build_ivf_index(spark, sf_dir)
+    files are read (asserted in tests/test_ivf_index.py).
+    ``index_dir``: probe an explicit (e.g. incrementally-upserted) layout."""
+    idx = index_dir or build_ivf_index(spark, sf_dir)
     spark.read.parquet(os.path.join(idx, "cells")).createOrReplaceTempView(
         "ivf_cells_v"
     )

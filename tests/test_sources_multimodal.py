@@ -1,6 +1,7 @@
 """Feed ingest (CSV/JSON/XML) and multimodal column plumbing."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_etl_spark.functions.multimodal import (
@@ -285,3 +286,88 @@ def test_jpeg_feature_extraction_through_spark(spark):
         got = {r["media_id"]: list(r["feature"])
                for r in extract_media_features(df).collect()}
         assert [round(v, 6) for v in got[1]] == [round(v, 6) for v in feat]
+
+
+def _golden_wav() -> bytes:
+    """A real WAV written by the stdlib wave module: 2ch/8kHz/16-bit,
+    400 frames = 50ms."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(400 * 2 * 2))
+    return buf.getvalue()
+
+
+def test_wav_metadata_golden():
+    from data_warehouse_etl_spark.functions.multimodal import wav_metadata
+
+    nch, rate, bits, dur = wav_metadata(_golden_wav())
+    assert (nch, rate, bits, dur) == (2, 8000, 16, 50)
+    with pytest.raises(ValueError):
+        wav_metadata(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        wav_metadata(b"\xaa" * 100)
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _golden_mp4(version: int = 0) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)). timescale=1000,
+    duration=2500 -> 2500ms; tkhd width/height 640x360 in 16.16 fixed."""
+    import struct
+
+    if version:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(">IQ", 1000, 2500)
+        mvhd += b"\x00" * 80
+    else:
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(">II", 1000, 2500)
+        mvhd += b"\x00" * 80
+    tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 + struct.pack(">II", 640 << 16, 360 << 16)
+    trak = _box(b"trak", _box(b"tkhd", tkhd))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_metadata_golden_both_versions():
+    from data_warehouse_etl_spark.functions.multimodal import mp4_metadata
+
+    for v in (0, 1):
+        dur, w, h = mp4_metadata(_golden_mp4(v))
+        assert (dur, w, h) == (2500, 640, 360), (v, dur, w, h)
+    with pytest.raises(ValueError):
+        mp4_metadata(b"\x00" * 64)
+
+
+def test_audio_video_feature_extraction_through_spark(spark):
+    """The kind dispatcher routes audio->WAV and video->MP4 metadata inside
+    the mapInPandas pipeline; non-parsable payloads keep the histogram-stub
+    contract."""
+    from data_warehouse_etl_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_audio,
+        _decode_video,
+        extract_media_features,
+    )
+
+    wav, mp4 = _golden_wav(), _golden_mp4()
+    assert _decode_audio(wav)[:4] == [2.0, 8000.0, 16.0, 50.0]
+    assert _decode_video(mp4)[:3] == [2500.0, 640.0, 360.0]
+    rows = [
+        (10, "audio", wav, "audio/wav", None, None, None),
+        (11, "video", mp4, "video/mp4", None, None, None),
+        (12, "audio", b"\xaa" * 64, "audio/fake", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: list(r["feature"]) for r in extract_media_features(df).collect()}
+    assert got[10][:4] == [2.0, 8000.0, 16.0, 50.0] and len(got[10]) == 12
+    assert got[11][:3] == [2500.0, 640.0, 360.0] and len(got[11]) == 11
+    assert len(got[12]) == 8  # fallback stub for unparsable audio
