@@ -248,14 +248,15 @@ _SIMHASH_BITS = 64
 _SIMHASH_BANDS = 4  # 4 bands x 16 bits — Broder-style banding over the signature
 
 
-def _simhash_fragments() -> tuple[str, str]:
+def _simhash_fragments(weighted: bool = False) -> tuple[str, str]:
     odd = "('1','3','5','7','9','b','d','f')"
     sums = []
     for b in range(_SIMHASH_BITS):
         src = "md5(word)" if b < 32 else "md5(word || '~')"
         pos = b % 32 + 1
+        vote = f"CASE WHEN substr({src}, {pos}, 1) IN {odd} THEN 1 ELSE -1 END"
         sums.append(
-            f"SUM(CASE WHEN substr({src}, {pos}, 1) IN {odd} THEN 1 ELSE -1 END) AS s{b}"
+            f"SUM(c * ({vote})) AS s{b}" if weighted else f"SUM({vote}) AS s{b}"
         )
     width = _SIMHASH_BITS // _SIMHASH_BANDS
     bands = []
@@ -270,15 +271,22 @@ def _simhash_fragments() -> tuple[str, str]:
 
 def _simhash_bands_sql(doc: str, split_fn: str) -> str:
     """The signature pipeline through the per-doc (b0..b3) band row —
-    staged by the Spark form; inlined by the oracle form."""
-    sums_sql, bands_sql = _simhash_fragments()
+    staged by the Spark form; inlined by the oracle form. Execution-side
+    rewrite (round 5): occurrences are pre-aggregated to (doc, word, count)
+    so the 64-sum/128-md5 vote aggregation — the dominant cost — runs over
+    DISTINCT words per doc with count-weighted votes
+    (SUM(vote per occurrence) ≡ SUM(count × vote), exact integer algebra;
+    the oracle keeps the per-occurrence form and values are identical)."""
+    sums_sql, bands_sql = _simhash_fragments(weighted=True)
     return f"""
     WITH words AS (
         SELECT doc_id, {split_fn} AS word FROM {doc}),
+    wc AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
     sums AS (
         SELECT doc_id,
                {sums_sql}
-        FROM words GROUP BY doc_id)
+        FROM wc GROUP BY doc_id)
     SELECT doc_id, {bands_sql} FROM sums
     """
 
