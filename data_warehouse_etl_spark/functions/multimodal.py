@@ -3,12 +3,17 @@ with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side machinery — schema, partitioning, UDF signatures, batch
-shapes — is real and tested. The decode itself: **PNG is decoded for real**
-(pure stdlib inflate + scanline defilter, :func:`decode_png` — golden-pixel
-tested); other codecs (JPEG/audio/video) need libraries this container
-cannot install and fall back to a clearly-marked deterministic stub inside
-``_decode_image`` — a deployment installs pillow/av and replaces that one
-branch. The reference's closest analog is its photo-count JSON pipeline
+shapes — is real and tested. The decode itself, all pure stdlib: **PNG
+pixels are decoded for real** (inflate + scanline defilter,
+:func:`decode_png`), **JPEG dimensions from SOF headers**
+(:func:`jpeg_dimensions`), **WAV metadata AND 16-bit-PCM samples**
+(:func:`wav_metadata` / :func:`wav_pcm_samples` → rms/peak/zero-crossing
+features), **MP4 duration/dimensions from the moov box**
+(:func:`mp4_metadata`). Only compressed-codec payloads (JPEG pixels,
+MP3/AAC samples, video frames) need libraries this container cannot
+install and fall back to a clearly-marked deterministic byte-histogram
+stub (:func:`_byte_hist`) — a deployment installs pillow/av and replaces
+that one branch. The reference's closest analog is its photo-count JSON pipeline
 (``/root/reference/Photos/makeit.rb:9-25``) — media handled as opaque blobs
 plus extracted tabular metadata.
 
@@ -23,7 +28,9 @@ Design points for 100 TB:
 
 from __future__ import annotations
 
+import array
 import struct
+import sys
 import zlib
 from collections.abc import Iterator
 
@@ -297,16 +304,62 @@ def _decode_image(content: bytes) -> list[float]:
     return _byte_hist(content)
 
 
+def wav_pcm_samples(data: bytes) -> tuple[int, "array.array"]:
+    """REAL WAV sample decode for 16-bit PCM (format tag 1): returns
+    (channels, interleaved int16 samples) straight from the data chunk —
+    PCM needs no codec, just byte order, so the most common uncompressed
+    audio container is fully decodable with the stdlib ``array`` module.
+    Raises ValueError for non-PCM16 WAVs (compressed codecs stay stubbed)."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt_tag = nch = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag, nch, _rate, _br, _blk, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)
+    if fmt_tag != 1 or bits != 16 or not nch or pcm is None:
+        raise ValueError("not PCM16")
+    samples = array.array("h")
+    samples.frombytes(pcm[: len(pcm) - (len(pcm) % 2)])
+    if sys.byteorder == "big":  # WAV PCM is little-endian
+        samples.byteswap()
+    return nch, samples
+
+
 def _decode_audio(content: bytes) -> list[float]:
     """Audio → [channels, sample_rate, bits, duration_ms] from REAL
-    WAV/RIFF headers (round 5) + the byte-histogram payload stub (sample
-    decode of compressed codecs needs libraries this container cannot
-    install). Non-WAV: histogram stub alone."""
+    WAV/RIFF headers (round 5), then for 16-bit PCM (the dominant WAV
+    encoding) REAL sample features over channel 0 — [rms, peak,
+    zero-crossing rate], all normalized to [0, 1] and rounded to 6 places
+    (deterministic at any parallelism). Compressed codecs keep the
+    byte-histogram payload stub (their decode needs libraries this
+    container cannot install); non-WAV: histogram stub alone."""
     try:
         nch, rate, bits, dur = wav_metadata(content)
-        return [float(nch), float(rate), float(bits), float(dur)] + _byte_hist(content)
     except (ValueError, struct.error):
         return _byte_hist(content)
+    meta = [float(nch), float(rate), float(bits), float(dur)]
+    try:
+        nch2, samples = wav_pcm_samples(content)
+        ch0 = samples[::nch2]
+        if len(ch0) == 0:
+            return meta + [0.0, 0.0, 0.0]
+        rms = (sum(s * s for s in ch0) / len(ch0)) ** 0.5 / 32768.0
+        peak = max(abs(s) for s in ch0) / 32768.0
+        zc = sum(
+            1 for a, b in zip(ch0, ch0[1:]) if (a >= 0) != (b >= 0)
+        )
+        zcr = zc / max(len(ch0) - 1, 1)
+        return meta + [round(rms, 6), round(peak, 6), round(zcr, 6)]
+    except (ValueError, struct.error):
+        return meta + _byte_hist(content)
 
 
 def _decode_video(content: bytes) -> list[float]:

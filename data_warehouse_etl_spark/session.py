@@ -45,10 +45,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # prefer target partition SIZE over parallelism when coalescing —
-        # per Spark tuning docs; avoids sliver tasks on small shuffles while
-        # large shuffles keep full width
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelism-first coalescing (round 5): with parallelismFirst=
+        # false, a reduce stage whose shuffle is ~cores x advisory bytes
+        # coalesces to FEWER tasks than threads — measured on the LWW winner
+        # reduce at local[32]: a ~300MB shuffle at 16m advisory became ~19
+        # fat tasks on 32 threads, under-parallel and maximally exposed to
+        # stragglers (tools/width_probe.py: that stage's 8->32 efficiency
+        # 0.23 with 5x wall variance; finer tasks restored it). The same
+        # trap scales: on a 1000-core cluster any GB-sized reduce would
+        # coalesce to ~16 fat tasks. parallelismFirst=true keeps stage
+        # width and still merges sub-minPartitionSize (1m) slivers.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

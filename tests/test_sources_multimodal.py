@@ -347,6 +347,49 @@ def test_mp4_metadata_golden_both_versions():
         mp4_metadata(b"\x00" * 64)
 
 
+def _sine_wav() -> bytes:
+    """Mono 8kHz PCM16, 1kHz sine at half full-scale, 800 frames = 100ms.
+    Sampled at 8 points/period the analytic features are exact: peak = 0.5,
+    rms = 0.5/sqrt(2), zero-crossings = 2 per 8 samples."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(16384 * math.sin(2 * math.pi * 1000 * k / 8000)))
+                for k in range(800)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_wav_pcm_features_golden():
+    """Real PCM16 sample decode: rms/peak/zcr on an analytic sine."""
+    from data_warehouse_etl_spark.functions.multimodal import (
+        _decode_audio,
+        wav_pcm_samples,
+    )
+
+    nch, samples = wav_pcm_samples(_sine_wav())
+    assert nch == 1 and len(samples) == 800 and max(samples) == 16384
+    meta_rms_peak_zcr = _decode_audio(_sine_wav())
+    assert meta_rms_peak_zcr[:4] == [1.0, 8000.0, 16.0, 100.0]
+    rms, peak, zcr = meta_rms_peak_zcr[4:]
+    assert peak == 0.5
+    assert rms == pytest.approx(0.5 / 2**0.5, rel=1e-3)
+    assert zcr == pytest.approx(0.25, rel=5e-3)
+    # compressed/non-PCM payloads keep the histogram stub after metadata
+    with pytest.raises(ValueError):
+        wav_pcm_samples(b"\xaa" * 100)
+
+
 def test_audio_video_feature_extraction_through_spark(spark):
     """The kind dispatcher routes audio->WAV and video->MP4 metadata inside
     the mapInPandas pipeline; non-parsable payloads keep the histogram-stub
@@ -368,6 +411,7 @@ def test_audio_video_feature_extraction_through_spark(spark):
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: list(r["feature"]) for r in extract_media_features(df).collect()}
-    assert got[10][:4] == [2.0, 8000.0, 16.0, 50.0] and len(got[10]) == 12
+    # PCM16 silence: 4 metadata values + REAL [rms, peak, zcr] = all zero
+    assert got[10] == [2.0, 8000.0, 16.0, 50.0, 0.0, 0.0, 0.0]
     assert got[11][:3] == [2500.0, 640.0, 360.0] and len(got[11]) == 11
     assert len(got[12]) == 8  # fallback stub for unparsable audio

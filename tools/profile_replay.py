@@ -40,11 +40,10 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": "4050",
-            # smaller scan splits + shuffle partitions than the 128m/64m
-            # defaults: wave-balanced tasks for the python-bound extract
-            # stage and no AQE-coalescing the winner agg to 1-2 fat tasks
+            # smaller scan splits than the 128m default: wave-balanced
+            # tasks for the python-bound extract stage (reduce width now
+            # comes from parallelism-first AQE coalescing, session.py)
             "spark.sql.files.maxPartitionBytes": "16m",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         },
     )
     ledger = LakeTable.load(ledger_path)
