@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 ``queries()`` entries.
-# The full surface is 53; these three parity entries are RETIRED from the
+# The full surface is 54; these four parity entries are RETIRED from the
 # driver window (round 5) so every registered query gets a driver row —
 # each is a near-duplicate of a surviving family member and stays
 # implemented, exported, and continuously oracle-checked by
@@ -37,8 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   j3_right_join      — mirror of j2_left_enrich with sides swapped
 #   j8_theta_join      — j1/j2 equi-join on a cast-derived key
 #   a10_weighted_score — arithmetic projection over a2-style flag aggregate
+#   p9_composite_in    — 2-key left-semi; physical shape = j1 multi-key
+#                        equi + j4's semi (retired to admit d10_dedup_clusters)
 RETIRED: frozenset[str] = frozenset(
-    {"j3_right_join", "j8_theta_join", "a10_weighted_score"}
+    {"j3_right_join", "j8_theta_join", "a10_weighted_score", "p9_composite_in"}
 )
 
 

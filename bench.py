@@ -44,6 +44,7 @@ HEADLINE = [
     "m2_cdc_lww_replay",
     "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh",
+    "d10_dedup_clusters",
     "v1_knn_bruteforce",
 ]
 

@@ -22,6 +22,7 @@ Design rules:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # --- dialect-specific shingle CTEs (word 3-grams, deduped per doc) ---------
 
@@ -239,6 +240,92 @@ def q_dedup_minhash_lsh(spark, sf):
     spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
     _staged(spark, _minhash_bandrows_sql(_SHINGLES_SPARK, "documents_v"), "bandrows_v")
     return spark.sql(_MINHASH_TAIL_SPARK)
+
+
+# ---------------------------------------------- dedup clusters (d10, CC)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Distributed connected components by hash-min label propagation: every
+    node's label starts as min(self, neighbors) and each round takes the min
+    of its own and its neighbors' labels until fixpoint — the standard
+    Pregel-style CC (GraphX's algorithm). Converges in O(component diameter)
+    rounds; near-dup clusters are shallow (dups of a page are dups of each
+    other), so 2-4 rounds in practice. Per round: one key-partitioned join
+    (edges × labels) + one groupBy-min with map-side combine — no all-pairs
+    anywhere, and `localCheckpoint` cuts the per-round lineage so the plan
+    stays O(1) deep. The per-round `count()` convergence probe is the
+    Pregel vote-to-halt, O(diameter) driver actions total, NOT a data
+    collect. Deliberately NOT a recursive CTE (Spark 4 has one): the
+    transitive-closure reach set is O(|component|²) rows, which explodes on
+    the giant boilerplate clusters a web corpus always contains; hash-min is
+    O(|V| + |E|) per round. Upgrade path at 100 TB: two-phase large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") for O(log n) rounds on adversarial diameters.
+
+    ``edges`` must be symmetric (both directions present). Returns
+    (node, lbl) where lbl = min node id of the component.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    labels = (
+        e.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("node"), F.least("src", "m").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so any difference is a strict improvement
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark, sf):
+    """d10: near-dup CLUSTERS — the step a corpus dedup pipeline actually
+    ships: d3's MinHash-LSH candidate pairs are only edges; grouping them
+    into connected components yields the duplicate clusters from which one
+    canonical document is kept (cluster_id = min doc_id is the canonical
+    pick). Pair generation is band-bucket-bounded (d3), clustering is
+    hash-min label propagation (see :func:`connected_components`); output is
+    one row per clustered doc with its cluster id and cluster size. The
+    DuckDB oracle computes the same fixpoint as a recursive-CTE transitive
+    closure — fine at oracle scale, wrong shape at corpus scale (docstring
+    above)."""
+    pairs = q_dedup_minhash_lsh(spark, sf)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
 
 
 # ------------------------------------------------------------------- simhash
@@ -581,6 +668,7 @@ TEXT_QUERIES = {
     "d1_dedup_exact": q_dedup_exact,
     "d2_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "d10_dedup_clusters": q_dedup_clusters,
     "d4_dedup_simhash": q_dedup_simhash,
     "d5_doc_fingerprint": q_doc_fingerprint,
     "d9_winnow_fingerprint": q_winnow_fingerprint,
@@ -595,6 +683,22 @@ TEXT_ORACLE = {
     + _SHINGLES_DUCK.format(doc="documents")
     + _JACCARD_BODY.format(doc="documents"),
     "d3_dedup_minhash_lsh": _minhash_sql(_SHINGLES_DUCK, "documents"),
+    "d10_dedup_clusters": f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql(_SHINGLES_DUCK, "documents")}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    lbls AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+    sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM lbls GROUP BY lbl)
+    SELECT l.node AS doc_id, l.lbl AS cluster_id, s.cluster_size
+    FROM lbls l JOIN sizes s ON l.lbl = s.lbl
+    """,
     "d4_dedup_simhash": _simhash_sql(
         "documents", "unnest(string_split(text, ' '))", _BANDEX_DUCK
     ),

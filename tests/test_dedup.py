@@ -237,3 +237,63 @@ def test_winnow_guarantee_shared_passage(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_fps"] for r in spark.sql(sql).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1, pairs
     assert all(3 not in p for p in pairs), pairs
+
+
+# ---------------------------------------- connected components (d10 core)
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A 6-node chain (diameter 5 — forces several propagation rounds), a
+    triangle, and a separate 2-clique must resolve to min-id component
+    labels; the fixpoint must be independent of edge order."""
+    from data_warehouse_etl_spark.functions.textops import connected_components
+
+    undirected = [
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),  # chain
+        (3, 7), (7, 5), (5, 3),                            # triangle
+        (100, 200),                                        # 2-clique
+    ]
+    sym = undirected + [(b, a) for a, b in undirected]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["lbl"] for r in connected_components(edges).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        3: 3, 5: 3, 7: 3,
+        100: 100, 200: 100,
+    }
+
+
+def test_dedup_clusters_partitions_the_pair_graph(spark):
+    """d10 over the smoke sf dir: every doc appears in exactly one cluster, every
+    cluster has >= 2 docs, cluster_id is the min doc_id of its members, and
+    the clusters are exactly the connected components of the d3 pair set."""
+    from data_warehouse_etl_spark.functions.textops import (
+        q_dedup_clusters,
+        q_dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pairs = [(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash_lsh(spark, SF_SMOKE).collect()]
+    rows = q_dedup_clusters(spark, SF_SMOKE).collect()
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(cluster_of) == len(rows)  # one row per doc
+    # reference union-find over the same pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want_groups: dict = {}
+    for n in parent:
+        want_groups.setdefault(find(n), set()).add(n)
+    want = {n: min(g) for g in want_groups.values() for n in g}
+    assert cluster_of == want
+    sizes = {r["cluster_id"]: r["cluster_size"] for r in rows}
+    for cid, size in sizes.items():
+        assert size >= 2 and cluster_of[cid] == cid
+        assert size == sum(1 for c in cluster_of.values() if c == cid)

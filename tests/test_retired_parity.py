@@ -1,4 +1,4 @@
-"""The three parity queries retired from the driver's 50-row correctness
+"""The parity queries retired from the driver's 50-row correctness
 window (round 5 — see ``__spark_entry__.RETIRED``) stay continuously
 verified here: each runs on Spark AND its oracle SQL on DuckDB over the same
 sf dir, compared by row count, column set, and the same order-insensitive
@@ -9,7 +9,9 @@ Coverage mapping (SURVEY.md §2): j3 → J3 right outer join
 j8 → J8 theta join on cast expression
 (``/root/reference/Sql Scripts/DM_RESTAURANT_MOD.sql:6,41``), a10 → A10
 weighted scoring projection
-(``/root/reference/Sql Scripts/RestaurantDetails_Marta_v11_06152015.sql:254-260``).
+(``/root/reference/Sql Scripts/RestaurantDetails_Marta_v11_06152015.sql:254-260``),
+p9 → P9 composite-tuple IN
+(``/root/reference/Sql Scripts/SILVERPOP_USER_INCREMENTAL.sql:290-327``).
 """
 
 import duckdb
@@ -29,8 +31,13 @@ def duck():
     con.close()
 
 
-def test_retired_set_is_exactly_the_documented_three():
-    assert entrymod.RETIRED == {"j3_right_join", "j8_theta_join", "a10_weighted_score"}
+def test_retired_set_is_exactly_the_documented_four():
+    assert entrymod.RETIRED == {
+        "j3_right_join",
+        "j8_theta_join",
+        "a10_weighted_score",
+        "p9_composite_in",
+    }
 
 
 def test_driver_registry_is_exactly_50():
@@ -38,7 +45,12 @@ def test_driver_registry_is_exactly_50():
     assert len(qs) == 50
     assert len(entrymod.oracle_sql()) == 50
     # the formerly window-excluded ANN variants are now inside the window
-    for name in ("v3_embedding_neardup", "v4_knn_lsh_srp", "v5_knn_lsh_multiprobe"):
+    for name in (
+        "v3_embedding_neardup",
+        "v4_knn_lsh_srp",
+        "v5_knn_lsh_multiprobe",
+        "d10_dedup_clusters",
+    ):
         assert name in qs
     assert not entrymod.RETIRED & set(qs)
 
