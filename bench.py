@@ -511,7 +511,7 @@ def _submit_run(
 
 def _submit_pair(
     ledger_path: str, n_events: int, execs_low: int, execs_high: int,
-    cores_per_exec: int = 2,
+    cores_per_exec: int = 1,
 ) -> dict:
     """The north rule's literal deployment shape (round 4 — VERDICT r3 item
     4): the SAME replay via ``spark-submit --py-files`` on a
@@ -532,11 +532,17 @@ def _submit_pair(
     if not submit:
         return {"skipped": "no spark-submit on this host"}
     zip_path = build(os.path.join(REPO, "dist", "data_warehouse_etl_spark.zip"))
-    # 2 cores per executor: the 4N side spans 8 host threads — inside this
-    # box's ~8-way deliverable capacity, so the pair measures the engine and
-    # not just steal (4-core executors at 4N = 16 threads were both past
-    # saturation AND flaky at 4096MB: transient vectored-read / blockmgr
-    # failures under memory pressure; 6144MB + 2 cores is reliable)
+    # 1 core per executor, and the pin reserves ONE EXTRA host core for the
+    # driver JVM (round 5): with 2-core executors the 4N side spanned 8 host
+    # threads — AT this box's ~8-way deliverable capacity — so the measured
+    # raw efficiency (0.465) priced host saturation, not the engine. With
+    # 1-core executors the pair is 1 vs 4 executor cores (+1 driver core on
+    # both sides, so the executor-capacity ratio stays exactly 4x), fully
+    # inside deliverable capacity at both widths — the multi-JVM analog of
+    # the pinned local[1]->local[4] primary pair. (4-core executors at 4N =
+    # 16 threads were both past saturation AND flaky at 4096MB: transient
+    # vectored-read / blockmgr failures under memory pressure; 6144MB is
+    # reliable.)
     mem_mb = 6144
     runs = {}
     for n_exec in (execs_low, execs_high):
@@ -550,7 +556,7 @@ def _submit_pair(
                     ledger_path,
                     os.path.join(REPO, ".bench", f"pages_submit_{n_exec}"),
                     batch_size=n_events, shuffle_partitions=max(cores * 4, 4),
-                    cores_pin=f"0-{cores - 1}" if cores > 1 else "0",
+                    cores_pin=f"0-{cores}",  # last pinned core = the driver's
                 )
                 break
             except RuntimeError as e:

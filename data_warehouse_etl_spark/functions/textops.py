@@ -264,9 +264,8 @@ def connected_components(
     collect. Deliberately NOT a recursive CTE (Spark 4 has one): the
     transitive-closure reach set is O(|component|²) rows, which explodes on
     the giant boilerplate clusters a web corpus always contains; hash-min is
-    O(|V| + |E|) per round. Upgrade path at 100 TB: two-phase large-star /
-    small-star (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") for O(log n) rounds on adversarial diameters.
+    O(|V| + |E|) per round. For adversarial diameters (chains), use
+    :func:`connected_components_star` — same contract, O(log n) rounds.
 
     ``edges`` must be symmetric (both directions present). Returns
     (node, lbl) where lbl = min node id of the component.
@@ -300,6 +299,86 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round scale path for ADVERSARIAL diameters, where hash-min
+    label propagation (:func:`connected_components`) would need
+    O(diameter) rounds. Web corpora mostly produce shallow near-dup
+    clusters (hash-min wins: fewer, cheaper rounds), but chain-shaped
+    components (pagination series, incremental boilerplate drift) have
+    diameter ∝ size; this variant converges in logarithmic rounds on those.
+
+    Per round: large-star points every neighbor LARGER than u at u's
+    neighborhood minimum (one symmetrize + groupBy-MIN + keyed join);
+    small-star re-points each node's SMALLER neighbors (one groupBy-MIN +
+    join). Both are key-partitioned aggregations with map-side combine —
+    the same shuffle shape as hash-min, never all-pairs. Iterates to a
+    fixpoint (edge set stable ⇒ a forest of stars centered at each
+    component's min node), lineage cut per round via localCheckpoint.
+    Returns (node, lbl), same contract as :func:`connected_components`.
+    """
+    # canonical directed form: (u, v) with u > v, set semantics
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # large-star: symmetrize; for each u emit (v, min(N(u) ∪ {u})) for
+        # every neighbor v > u
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_lg = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_lg, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star on the large-star output: for each u emit
+        # (v, min(N⁻(u) ∪ {u})) for every smaller neighbor v and u itself
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m_sm = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(m_sm, "u")
+        new = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_sm.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: the canonical edge SET is unchanged (both differences
+        # empty — two O(1)-row driver actions, not a data collect)
+        stable = (
+            new.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new).limit(1).count() == 0
+        )
+        e = new
+        if stable:
+            break
+    # e is a star forest pointing leaf -> center (= component min)
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("lbl")))
+        .distinct()
+    )
 
 
 def q_dedup_clusters(spark, sf):

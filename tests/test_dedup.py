@@ -297,3 +297,53 @@ def test_dedup_clusters_partitions_the_pair_graph(spark):
     for cid, size in sizes.items():
         assert size >= 2 and cluster_of[cid] == cid
         assert size == sum(1 for c in cluster_of.values() if c == cid)
+
+
+def test_star_cc_equals_hashmin_and_unionfind(spark):
+    """Large-star/small-star CC must agree with hash-min CC and a Python
+    union-find on a seeded sparse random graph (many components, mixed
+    sizes)."""
+    import random
+
+    from data_warehouse_etl_spark.functions.textops import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    und = sorted({tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)})
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    got_star = {r["node"]: r["lbl"] for r in connected_components_star(edges).collect()}
+    got_min = {r["node"]: r["lbl"] for r in connected_components(edges).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        parent[find(a)] = find(b)
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), set()).add(n)
+    want = {n: min(g) for g in comp.values() for n in g}
+    assert got_star == want
+    assert got_min == want
+
+
+def test_star_cc_logarithmic_on_long_chain(spark):
+    """A 600-node chain has diameter 599 — hash-min would need 599 rounds;
+    the star variant must resolve it inside its default 50-round budget
+    (O(log n) expected)."""
+    from data_warehouse_etl_spark.functions.textops import connected_components_star
+
+    und = [(i, i + 1) for i in range(600)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["lbl"] for r in connected_components_star(edges).collect()}
+    assert got == {i: 0 for i in range(601)}
