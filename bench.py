@@ -509,6 +509,33 @@ def _submit_run(
     )
 
 
+def pinned_capacity(procs: int, pin: str, per: int = 3_000_000) -> float:
+    """:func:`cpu_capacity` measured INSIDE a taskset-pinned process tree —
+    the deliverable Mops of exactly the pinned core set, the denominator
+    that makes the submit pair's self-normalized estimator comparable to
+    the local pair's (whose workers probe their own pinned cores)."""
+    code = (
+        "import sys,time,multiprocessing as mp\n"
+        "def burn(n):\n"
+        "    x=0\n"
+        "    for i in range(n): x+=i*i\n"
+        "    return x\n"
+        "if __name__=='__main__':\n"
+        "    procs=int(sys.argv[1]); per=int(sys.argv[2])\n"
+        "    t0=time.monotonic()\n"
+        "    with mp.Pool(procs) as p: p.map(burn,[per]*procs*2)\n"
+        "    print('CAP', per*procs*2/(time.monotonic()-t0)/1e6)\n"
+    )
+    proc = subprocess.run(
+        ["taskset", "-c", pin, sys.executable, "-c", code, str(procs), str(per)],
+        capture_output=True, text=True, timeout=600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("CAP "):
+            return float(line.split()[1])
+    raise RuntimeError(f"pinned capacity probe failed: {proc.stderr[-200:]}")
+
+
 def _submit_pair(
     ledger_path: str, n_events: int, execs_low: int, execs_high: int,
     cores_per_exec: int = 1,
@@ -517,10 +544,11 @@ def _submit_pair(
     4): the SAME replay via ``spark-submit --py-files`` on a
     ``local-cluster`` master — separate executor JVMs with real serialized
     task dispatch, off-heap shuffle/broadcast transfer, and a driver that is
-    not an executor — at N and 4N executors. local[N] shares one heap and
-    hides all of that. Single batch (the representative per-batch shape),
-    one run per width (cold-start is ~30-60s per submit; the primary pinned
-    local pair carries the rep-level statistics)."""
+    not an executor — at N and 4N executors, single production-shaped batch.
+    Round 5: interleaved reps with PINNED capacity probes bracketing every
+    run (same treatment as the local pair — single submit runs differed by
+    1.6x in probe capacity across the session, so one run per width mostly
+    measured the steal schedule), and the same three estimators."""
     import shutil as _sh
 
     import pyspark
@@ -532,57 +560,86 @@ def _submit_pair(
     if not submit:
         return {"skipped": "no spark-submit on this host"}
     zip_path = build(os.path.join(REPO, "dist", "data_warehouse_etl_spark.zip"))
-    # 1 core per executor, and the pin reserves ONE EXTRA host core for the
-    # driver JVM (round 5): with 2-core executors the 4N side spanned 8 host
-    # threads — AT this box's ~8-way deliverable capacity — so the measured
-    # raw efficiency (0.465) priced host saturation, not the engine. With
-    # 1-core executors the pair is 1 vs 4 executor cores (+1 driver core on
-    # both sides, so the executor-capacity ratio stays exactly 4x), fully
-    # inside deliverable capacity at both widths — the multi-JVM analog of
-    # the pinned local[1]->local[4] primary pair. (4-core executors at 4N =
-    # 16 threads were both past saturation AND flaky at 4096MB: transient
-    # vectored-read / blockmgr failures under memory pressure; 6144MB is
-    # reliable.)
+    # 1 core per executor, pin = exactly N vs 4N host cores with EVERYTHING
+    # (driver JVM, executor JVMs, python UDF workers) inside the pinned set
+    # (round 5): with 2-core executors the 4N side spanned 8 host threads —
+    # AT this box's ~8-way deliverable capacity — so the measured raw
+    # efficiency (0.465) priced host saturation, not the engine. taskset
+    # pins the whole process tree, so any "extra" core (a dedicated driver
+    # core was tried) leaks: the low side's python workers overlap onto it
+    # and the capacity ratio is no longer 4x. All-inclusive 1-vs-4 pinned
+    # cores is the exact multi-JVM analog of the pinned local[1]->local[4]
+    # primary pair. (4-core executors at 4N = 16 threads were both past
+    # saturation AND flaky at 4096MB: transient vectored-read / blockmgr
+    # failures under memory pressure; 6144MB is reliable.)
     mem_mb = 6144
-    runs = {}
-    for n_exec in (execs_low, execs_high):
-        cores = n_exec * cores_per_exec
-        last_err = None
-        for _attempt in range(2):  # executor cold-start IO is occasionally
-            try:                   # flaky (transient vectored-read error)
-                r = _submit_run(
-                    submit, zip_path,
-                    f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]",
-                    ledger_path,
-                    os.path.join(REPO, ".bench", f"pages_submit_{n_exec}"),
-                    batch_size=n_events, shuffle_partitions=max(cores * 4, 4),
-                    cores_pin=f"0-{cores}",  # last pinned core = the driver's
-                )
-                break
-            except RuntimeError as e:
-                last_err = e
-        else:
-            raise last_err
-        r["cap_mops"] = round(cpu_capacity(cores), 1)
-        runs[n_exec] = r
-    lo, hi = runs[execs_low], runs[execs_high]
+    reps = int(os.environ.get("SPARK_GRAFT_SUBMIT_REPS", "3"))
+    runs_low: list[dict] = []
+    runs_high: list[dict] = []
+    for _ in range(reps):
+        for n_exec, runs in ((execs_low, runs_low), (execs_high, runs_high)):
+            cores = n_exec * cores_per_exec
+            pin = f"0-{cores - 1}" if cores > 1 else "0"
+            last_err = None
+            for _attempt in range(2):  # executor cold-start IO is
+                try:                   # occasionally flaky
+                    cap_before = pinned_capacity(cores, pin)
+                    r = _submit_run(
+                        submit, zip_path,
+                        f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]",
+                        ledger_path,
+                        os.path.join(REPO, ".bench", f"pages_submit_{n_exec}"),
+                        batch_size=n_events,
+                        shuffle_partitions=max(cores * 4, 4),
+                        cores_pin=pin,
+                    )
+                    cap_after = pinned_capacity(cores, pin)
+                    break
+                except RuntimeError as e:
+                    last_err = e
+            else:
+                raise last_err
+            r["cap_mops"] = round((cap_before + cap_after) / 2, 1)
+            runs.append(r)
+    lo, hi = _median_run(runs_low), _median_run(runs_high)
     ratio = execs_high / execs_low
+
+    def _med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    per_raw = [
+        (h["events_per_sec"] / l["events_per_sec"]) / ratio
+        for l, h in zip(runs_low, runs_high)
+    ]
+    per_norm = [
+        (h["events_per_sec"] / h["cap_mops"]) / (l["events_per_sec"] / l["cap_mops"])
+        for l, h in zip(runs_low, runs_high)
+    ]
+    best_eff = (
+        max(r["events_per_sec"] for r in runs_high)
+        / max(r["events_per_sec"] for r in runs_low)
+        / ratio
+    )
     return {
         "execs_low": execs_low,
         "execs_high": execs_high,
         "cores_per_exec": cores_per_exec,
+        "reps": reps,
         "low_events_per_sec": lo["events_per_sec"],
         "high_events_per_sec": hi["events_per_sec"],
         "low_wall_sec": lo["wall_sec"],
         "high_wall_sec": hi["wall_sec"],
-        "efficiency": round((hi["events_per_sec"] / lo["events_per_sec"]) / ratio, 3),
-        "self_normalized_efficiency": round(
-            (hi["events_per_sec"] / hi["cap_mops"])
-            / (lo["events_per_sec"] / lo["cap_mops"]),
-            3,
-        ),
+        "efficiency": round(_med(per_raw), 3),
+        "self_normalized_efficiency": round(_med(per_norm), 3),
+        "best_efficiency": round(best_eff, 3),
+        "per_rep_efficiency": [round(x, 3) for x in per_raw],
+        "per_rep_normalized": [round(x, 3) for x in per_norm],
+        "runs_low": [r["events_per_sec"] for r in runs_low],
+        "runs_high": [r["events_per_sec"] for r in runs_high],
+        "caps_low": [r["cap_mops"] for r in runs_low],
+        "caps_high": [r["cap_mops"] for r in runs_high],
         "caps_mops": [lo["cap_mops"], hi["cap_mops"]],
-        "state_identical": lo["state_hash"] == hi["state_hash"],
+        "state_identical": len({r["state_hash"] for r in runs_low + runs_high}) == 1,
         "state_hash": hi["state_hash"],
         "live_rows": hi["live_rows"],
     }
@@ -828,14 +885,26 @@ shuffle/broadcast transfer, driver not an executor), N vs 4N EXECUTORS.
 | {submit_pair['execs_low']} | {submit_pair['execs_low'] * submit_pair['cores_per_exec']} | {submit_pair['low_wall_sec']} | {submit_pair['low_events_per_sec']:,} | {submit_pair['caps_mops'][0]} |
 | {submit_pair['execs_high']} | {submit_pair['execs_high'] * submit_pair['cores_per_exec']} | {submit_pair['high_wall_sec']} | {submit_pair['high_events_per_sec']:,} | {submit_pair['caps_mops'][1]} |
 
-Raw efficiency {submit_pair['efficiency']}; self-normalized
-{submit_pair['self_normalized_efficiency']} (the 4N side spans
-{submit_pair['execs_high'] * submit_pair['cores_per_exec']} host threads — past this
-box's ~8-way deliverable capacity, so the raw number prices host steal as
-well as the engine; one run per width — the pinned local pair above carries
-the rep statistics). **State hash identical across executor counts:
-{submit_pair['state_identical']}** — the same-snapshot-at-N-and-4N half of
-the criterion under real multi-JVM execution.
+Pin = exactly N vs 4N host cores with the whole process tree (driver,
+executors, python UDF workers) inside — the multi-JVM analog of the
+pinned local pair. Medians over {submit_pair.get('reps', 1)} interleaved
+reps with pinned deliverable-CPU probes bracketing every run.
+
+Raw efficiency {submit_pair['efficiency']} (per-rep
+{submit_pair.get('per_rep_efficiency')}, all runs
+low={submit_pair.get('runs_low')} high={submit_pair.get('runs_high')});
+self-normalized {submit_pair['self_normalized_efficiency']} (per-rep
+{submit_pair.get('per_rep_normalized')}; per-run pinned-probe Mops
+low={submit_pair.get('caps_low')} high={submit_pair.get('caps_high')});
+best-vs-best {submit_pair.get('best_efficiency')}. The structural
+residual vs the local pair: at 1 executor ALL shuffle blocks are
+JVM-local, at 4 executors ~75% cross JVMs over loopback netty, and the
+winner-key broadcast ships once per executor — real distributed costs a
+single-node low side never pays (on a real cluster BOTH sides of an
+N-vs-4N pair pay them). **State hash identical across every run at both
+executor counts: {submit_pair['state_identical']}** — the
+same-snapshot-at-N-and-4N half of the criterion under real multi-JVM
+execution.
 """
     elif submit_pair:
         submit_md = (

@@ -297,8 +297,14 @@ def connected_components(
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    # no silent caps: un-converged labels are WRONG labels (a component
+    # with diameter > max_iters would be split into several clusters)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "a component's diameter exceeds the budget; use "
+        "connected_components_star (O(log n) rounds) or raise max_iters"
+    )
 
 
 def connected_components_star(
@@ -372,12 +378,16 @@ def connected_components_star(
         )
         e = new
         if stable:
-            break
-    # e is a star forest pointing leaf -> center (= component min)
-    return (
-        e.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
-        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("lbl")))
-        .distinct()
+            # e is a star forest pointing leaf -> center (= component min)
+            return (
+                e.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+                .unionByName(
+                    e.select(F.col("v").alias("node"), F.col("v").alias("lbl"))
+                )
+                .distinct()
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iters} rounds"
     )
 
 

@@ -347,3 +347,15 @@ def test_star_cc_logarithmic_on_long_chain(spark):
     edges = spark.createDataFrame(sym, "src long, dst long")
     got = {r["node"]: r["lbl"] for r in connected_components_star(edges).collect()}
     assert got == {i: 0 for i in range(601)}
+
+
+def test_hashmin_cc_raises_on_diameter_overrun(spark):
+    """Un-converged labels are wrong labels — the round budget must raise,
+    not silently return a split component."""
+    from data_warehouse_etl_spark.functions.textops import connected_components
+
+    und = [(i, i + 1) for i in range(30)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=3)
