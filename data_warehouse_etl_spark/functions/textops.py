@@ -417,6 +417,30 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def dedup_keep_list(spark, sf) -> DataFrame:
+    """The artifact a corpus dedup actually ships: one KEEP document per
+    near-dup cluster, chosen by (quality_pass, n_tokens, lowest doc_id) —
+    prefer a quality-passing member, then the longest, with a deterministic
+    id tiebreak. Composition of d10 (clusters) × d6 (quality) with a single
+    combining ``max_by`` over a struct ordering — one groupBy, no window
+    sort, the same LWW-shaped aggregation the CDC engine uses. Returns
+    (cluster_id, keep_doc_id, cluster_size, n_dropped); docs outside any
+    cluster are implicitly all keepers."""
+    clusters = q_dedup_clusters(spark, sf)
+    quality = q_text_quality(spark, sf)
+    j = clusters.join(quality, "doc_id")
+    pick = j.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("quality_pass"), F.col("n_tokens"), (-F.col("doc_id"))
+            ),
+        ).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return pick.withColumn("n_dropped", F.col("cluster_size") - F.lit(1))
+
+
 # ------------------------------------------------------------------- simhash
 
 

@@ -359,3 +359,37 @@ def test_hashmin_cc_raises_on_diameter_overrun(spark):
     edges = spark.createDataFrame(sym, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=3)
+
+
+def test_dedup_keep_list_picks_best_per_cluster(spark):
+    """keep_doc_id must be the (quality_pass, n_tokens, -doc_id)-argmax of
+    each d10 cluster, computed independently here from the two source
+    queries; n_dropped = cluster_size - 1."""
+    from data_warehouse_etl_spark.functions.textops import (
+        dedup_keep_list,
+        q_dedup_clusters,
+        q_text_quality,
+    )
+    from tests.conftest import SF_SMOKE
+
+    clusters = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in q_dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    qual = {
+        r["doc_id"]: (r["quality_pass"], r["n_tokens"])
+        for r in q_text_quality(spark, SF_SMOKE).collect()
+    }
+    want: dict = {}
+    for doc, (cid, size) in clusters.items():
+        qp, nt = qual[doc]
+        key = (qp, nt, -doc)
+        if cid not in want or key > want[cid][0]:
+            want[cid] = (key, doc, size)
+    got = {r["cluster_id"]: r for r in dedup_keep_list(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for cid, (_, doc, size) in want.items():
+        assert got[cid]["keep_doc_id"] == doc
+        assert got[cid]["cluster_size"] == size
+        assert got[cid]["n_dropped"] == size - 1
+    assert any(r["n_dropped"] >= 1 for r in got.values())  # non-vacuous
