@@ -267,10 +267,16 @@ def connected_components(
     O(|V| + |E|) per round. For adversarial diameters (chains), use
     :func:`connected_components_star` — same contract, O(log n) rounds.
 
-    ``edges`` must be symmetric (both directions present). Returns
-    (node, lbl) where lbl = min node id of the component.
+    ``edges`` is treated as UNDIRECTED: both directions are added
+    internally (duplicate edges are harmless under MIN, so no distinct
+    pass is spent) — a directed-only input would otherwise silently
+    under-merge. Returns (node, lbl) where lbl = min node id of the
+    component; nodes that appear in no edge are absent from the output.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    d = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = (
         e.groupBy("src")
         .agg(F.min("dst").alias("m"))
@@ -403,12 +409,7 @@ def q_dedup_clusters(spark, sf):
     closure — fine at oracle scale, wrong shape at corpus scale (docstring
     above)."""
     pairs = q_dedup_minhash_lsh(spark, sf)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = connected_components(edges)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),

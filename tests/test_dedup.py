@@ -1,6 +1,8 @@
 """LWW dedup unit laws: ordering, tie-break, mode equivalence, skew."""
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_warehouse_etl_spark.cdc.dedup import lww_dedup, lww_dedup_salted
@@ -393,3 +395,78 @@ def test_dedup_keep_list_picks_best_per_cluster(spark):
         assert got[cid]["cluster_size"] == size
         assert got[cid]["n_dropped"] == size - 1
     assert any(r["n_dropped"] >= 1 for r in got.values())  # non-vacuous
+
+
+def _unionfind_labels(und_edges):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und_edges:
+        parent[find(a)] = find(b)
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), set()).add(n)
+    return {n: min(g) for g in comp.values() for n in g}
+
+
+def test_cc_accepts_directed_only_input(spark):
+    """Both CC variants symmetrize internally: a pair list carrying each
+    edge in ONE direction only (the shape every dedup pair query emits,
+    doc_a < doc_b) must produce the same components as the symmetric
+    form — before the fix hash-min silently under-merged on this input."""
+    from data_warehouse_etl_spark.functions.textops import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain oriented high->low so naive min-propagation along given
+    # direction alone cannot reach the component min
+    directed = [(5, 4), (4, 3), (3, 2), (2, 1), (10, 20), (30, 20)]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    want = _unionfind_labels(directed)
+    got_min = {r["node"]: r["lbl"] for r in connected_components(edges).collect()}
+    got_star = {r["node"]: r["lbl"] for r in connected_components_star(edges).collect()}
+    assert got_min == want
+    assert got_star == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 23)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_property_matches_unionfind(spark, raw):
+    """Property: on ANY edge list (directed, duplicated, self-looped) both
+    CC variants equal a Python union-find oracle over the undirected view."""
+    from data_warehouse_etl_spark.functions.textops import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    want = _unionfind_labels(raw)
+    got_min = {
+        r["node"]: r["lbl"]
+        for r in connected_components(edges, max_iters=64).collect()
+    }
+    got_star = {
+        r["node"]: r["lbl"] for r in connected_components_star(edges).collect()
+    }
+    assert got_min == want
+    # star's canonical form drops self-loops, so nodes whose ONLY edges
+    # are self-loops are absent from its output (documented contract)
+    real = {n for a, b in raw if a != b for n in (a, b)}
+    assert got_star == {n: l for n, l in want.items() if n in real}
