@@ -44,7 +44,9 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # "--all" = explicit no-filter (the default); any other unknown name is
+    # an ERROR, not an empty no-op run that exits 0 looking green
+    only = {a for a in sys.argv[2:] if a != "--all"}
 
     import __spark_entry__ as entrymod
     from data_warehouse_etl_spark.session import get_spark
@@ -59,6 +61,10 @@ def main() -> int:
     # only the 50 queries() emits; this local gate checks everything)
     queries = getattr(entrymod, "all_queries", entrymod.queries)()
     oracles = getattr(entrymod, "all_oracle_sql", entrymod.oracle_sql)()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
