@@ -243,6 +243,8 @@ def mp4_metadata(data: bytes) -> tuple[int, int, int]:
     width = height = 0
     for typ, s, e in _mp4_boxes(data, *moov):
         if typ == b"mvhd":
+            if s >= e:  # empty fullbox body (malformed): no version byte
+                raise ValueError("truncated mvhd")
             ver = data[s]
             if ver == 1:  # 64-bit times: creation/modification are 8 bytes
                 timescale, dur = struct.unpack(">IQ", data[s + 20 : s + 32])
@@ -293,13 +295,13 @@ def _decode_image(content: bytes) -> list[float]:
             for c in range(nch):
                 means.append(round(sum(px[c::nch]) / (255.0 * npix), 6))
             return [float(w), float(h), float(nch)] + means
-        except (ValueError, zlib.error, struct.error):
+        except (ValueError, zlib.error, struct.error, IndexError):
             pass  # malformed PNG → histogram fallback below
     if content and content[0:2] == b"\xff\xd8":
         try:
             w, h, nch = jpeg_dimensions(content)
             return [float(w), float(h), float(nch)] + _byte_hist(content)
-        except (ValueError, struct.error):
+        except (ValueError, struct.error, IndexError):
             pass  # malformed JPEG → histogram fallback below
     return _byte_hist(content)
 
@@ -343,7 +345,7 @@ def _decode_audio(content: bytes) -> list[float]:
     container cannot install); non-WAV: histogram stub alone."""
     try:
         nch, rate, bits, dur = wav_metadata(content)
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, IndexError):
         return _byte_hist(content)
     meta = [float(nch), float(rate), float(bits), float(dur)]
     try:
@@ -358,7 +360,7 @@ def _decode_audio(content: bytes) -> list[float]:
         )
         zcr = zc / max(len(ch0) - 1, 1)
         return meta + [round(rms, 6), round(peak, 6), round(zcr, 6)]
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, IndexError):
         return meta + _byte_hist(content)
 
 
@@ -369,7 +371,7 @@ def _decode_video(content: bytes) -> list[float]:
     try:
         dur, w, h = mp4_metadata(content)
         return [float(dur), float(w), float(h)] + _byte_hist(content)
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, IndexError):
         return _byte_hist(content)
 
 

@@ -415,3 +415,36 @@ def test_audio_video_feature_extraction_through_spark(spark):
     assert got[10] == [2.0, 8000.0, 16.0, 50.0, 0.0, 0.0, 0.0]
     assert got[11][:3] == [2500.0, 640.0, 360.0] and len(got[11]) == 11
     assert len(got[12]) == 8  # fallback stub for unparsable audio
+
+
+def test_decode_media_never_raises_on_malformed_bytes():
+    """A 100 TB web corpus WILL contain truncated/corrupt media; an uncaught
+    exception inside the mapInPandas UDF kills the task (and with retries,
+    the job). Contract: _decode_media falls back to the byte-histogram stub
+    on ANY input. Seeded corpus: random bytes, plus prefix-truncations and
+    single-byte corruptions of every golden fixture (these exercise the real
+    parser paths — mvhd/tkhd/fmt chunk walkers — on near-valid input)."""
+    import random
+
+    from data_warehouse_etl_spark.functions.multimodal import (
+        _PNG_MAGIC,
+        _decode_media,
+    )
+
+    rng = random.Random(20260817)
+    goldens = [_golden_wav(), _golden_mp4()]
+    corpus: list[bytes] = [b"", b"\x00", _PNG_MAGIC, b"\xff\xd8", b"RIFF",
+                           b"RIFF\x00\x00\x00\x00WAVE",
+                           bytes(rng.randrange(256) for _ in range(64))]
+    for g in goldens:
+        for cut in range(0, len(g), 7):
+            corpus.append(g[:cut])
+        for _ in range(40):
+            i = rng.randrange(len(g))
+            corrupted = bytearray(g)
+            corrupted[i] = rng.randrange(256)
+            corpus.append(bytes(corrupted))
+    for kind in ("image", "audio", "video"):
+        for blob in corpus:
+            feats = _decode_media(kind, blob)  # must not raise
+            assert isinstance(feats, list) and all(isinstance(v, float) for v in feats)
