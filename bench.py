@@ -801,6 +801,47 @@ def main() -> None:
         except Exception as e:
             index_parity = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # 5. measured ANN recall/cost at bench scale (round 5): recall@10,
+    # scan fraction and selectivity lift of v2/v4/v5 vs the exact v1
+    # baseline over a deterministic stride of probe vectors — the number
+    # behind the "recall/cost dial" claims, measured not asserted.
+    ann_recall = None
+    if os.environ.get("SPARK_GRAFT_ANN_RECALL", "1") != "0":
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "ann_recall.py"),
+                 SF_DIR],
+                capture_output=True, text=True, timeout=900, cwd=REPO,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("ANN_RECALL "):
+                    ann_recall = json.loads(line[len("ANN_RECALL "):])
+                    break
+            if ann_recall is None:
+                raise RuntimeError(f"no result line (rc={p.returncode})")
+        except Exception as e:
+            ann_recall = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # 6. measured dedup-detector agreement at bench scale (round 5): the
+    # dedup twin of the recall table — precision/recall of the approximate
+    # near-dup detectors' candidate pairs vs d2's exact-Jaccard truth.
+    dedup_agree = None
+    if os.environ.get("SPARK_GRAFT_DEDUP_AGREEMENT", "1") != "0":
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "dedup_agreement.py"),
+                 SF_DIR],
+                capture_output=True, text=True, timeout=900, cwd=REPO,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("DEDUP_AGREEMENT "):
+                    dedup_agree = json.loads(line[len("DEDUP_AGREEMENT "):])
+                    break
+            if dedup_agree is None:
+                raise RuntimeError(f"no result line (rc={p.returncode})")
+        except Exception as e:
+            dedup_agree = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "cdc_replay_wall",
         "value": scaling["high_wall_sec"],
@@ -830,6 +871,8 @@ def main() -> None:
         "scaling_submit": submit_pair,
         "dedup_plan_compare": dedup_cmp,
         "index_parity": index_parity,
+        "ann_recall": ann_recall,
+        "dedup_agreement": dedup_agree,
         "query_bench": qmeta,
     }
 
@@ -1044,6 +1087,14 @@ read back via ``engine.schedule.latest()``): process
 
 {_index_parity_md(index_parity)}
 
+## Measured ANN recall/cost at sf={sf}
+
+{_ann_recall_md(ann_recall)}
+
+## Measured dedup-detector agreement at sf={sf}
+
+{_dedup_agree_md(dedup_agree)}
+
 **Byte-identical final state across every run at every width and batch
 slicing: {hashes_ok}** (order-insensitive xxhash64 content hash over all
 live rows — the correctness half of the north-rule criterion)
@@ -1056,6 +1107,44 @@ live rows — the correctness half of the north-rule criterion)
     sys.stderr.flush()
     print(json.dumps(result))
     sys.stdout.flush()
+
+
+def _dedup_agree_md(da) -> str:
+    if da is None:
+        return "skipped (SPARK_GRAFT_DEDUP_AGREEMENT=0)."
+    if "error" in da:
+        return f"FAILED: {da['error']}"
+    hdr = ("Candidate pairs of each approximate detector vs d2's exact "
+           "capped-vocabulary Jaccard >= 0.6 truth (tools/dedup_agreement.py"
+           " — precision = fraction of candidates a downstream exact verify "
+           "keeps, i.e. verification compute NOT wasted; recall = truth "
+           "pairs the bucketing generates at all). Candidate volume is the "
+           "cost driver at corpus scale:\n\n"
+           "| detector | candidates | truth | precision | recall |\n"
+           "|---|---|---|---|---|")
+    rows = "\n".join(
+        f"| {d} | {m['n_pairs']} | {m['n_truth']} | {m['precision']} | {m['recall']} |"
+        for d, m in da["detectors"].items()
+    )
+    return hdr + "\n" + rows
+
+
+def _ann_recall_md(ar) -> str:
+    if ar is None:
+        return "skipped (SPARK_GRAFT_ANN_RECALL=0)."
+    if "error" in ar:
+        return f"FAILED: {ar['error']}"
+    hdr = (f"recall@{ar['k']} / scan fraction / selectivity lift over "
+           f"{ar['max_probes']} strided probe vectors, vs the exact v1 "
+           "baseline (tools/ann_recall.py — lift 1.0 = scanning a random "
+           "same-sized fraction; the synthetic corpus is near-uniform, "
+           "LSH's worst case, so lift > 1 is the honest measured signal):\n\n"
+           "| variant | recall | scan_frac | lift |\n|---|---|---|---|")
+    rows = "\n".join(
+        f"| {v} | {m['recall_at_k']} | {m['scan_frac']} | {m['lift']} |"
+        for v, m in ar["variants"].items()
+    )
+    return hdr + "\n" + rows
 
 
 def _index_parity_md(ip) -> str:

@@ -759,3 +759,99 @@ SIM_ORACLE = {
         "embeddings", _cos_duck, _srp_bucket_duck, _xor_duck
     ),
 }
+
+
+# --------------------------------------------------------------- ANN recall
+
+
+def ann_recall_summary(
+    spark: SparkSession, sf_dir: str, k: int = 10, max_probes: int = 50
+) -> DataFrame:
+    """Measured recall/cost for every ANN variant vs the exact baseline —
+    the "measure, don't guess" number behind the v2/v4/v5 docstrings'
+    recall-dial claims. For ``max_probes`` deterministically-strided probe
+    vectors (every ``N/max_probes``-th vec_id — no RNG, same set every
+    run), computes each variant's top-k by cosine within ITS candidate set
+    (IVF: 2 probed cells; SRP: the probe's bucket; multiprobe: the bucket +
+    its Hamming-1 neighbors) and compares against the exact top-k:
+
+    - ``recall_at_k``  = mean |ann ∩ exact| / k over probes,
+    - ``scan_frac``    = mean candidate rows / corpus — the cost side
+      (candidate volume IS scan volume on the materialized layouts: the
+      predicates here are exactly the partition filters v2/v4/v5 prune by),
+    - ``lift``         = recall_at_k / scan_frac — selectivity vs scanning a
+      random same-sized fraction (random scan has lift 1.0 by construction).
+
+    Caveat the numbers honestly: the synthetic corpus is near-uniform
+    (max same-label cosine ≈ 0.47), close to LSH's worst case — for truly
+    random vectors bucket membership approaches independence from top-k
+    membership and recall → scan_frac (lift → 1). Lift > 1 here is the
+    structure the hashes do capture; on a real clustered web-embedding
+    corpus the same constructions sit far higher on the dial.
+
+    One Spark job per variant over probes × corpus (broadcastable probe
+    side); a measurement tool, so it lives outside the 50-query driver
+    registry — bench.py runs it at sf0.1 and records the table, and the
+    pytest pins the structural invariants (v5 ⊇ v4 candidates ⇒ recall
+    monotone, all scan fractions ≪ 1)."""
+    emb = "embeddings_v"
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(emb)
+    n = spark.table(emb).count()
+    step = max(1, n // max_probes)
+    cos = _cos_spark
+
+    base = f"""
+    WITH p AS (SELECT vec_id AS pid, embedding AS pv
+               FROM {emb} WHERE vec_id % {step} = 0),
+    pb AS (SELECT pid, pv, {_srp_bucket_spark("pv")} AS pbucket FROM p),
+    scored AS (
+        SELECT pb.pid, pb.pbucket, e.vec_id, e.label,
+               CAST({_srp_bucket_spark("e.embedding")} AS INT) AS eb,
+               {cos("e.embedding", "pb.pv")} AS c
+        FROM {emb} e CROSS JOIN pb WHERE e.vec_id <> pb.pid),
+    exact AS (
+        SELECT pid, vec_id FROM (
+            SELECT pid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, vec_id) rn
+            FROM scored) WHERE rn <= {k}),
+    {{cand_cte}},
+    ann AS (
+        SELECT pid, vec_id FROM (
+            SELECT pid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, vec_id) rn
+            FROM cand) WHERE rn <= {k})
+    SELECT variant, recall_at_k, scan_frac,
+           ROUND(recall_at_k / scan_frac, 2) AS lift
+    FROM (
+        SELECT '{{variant}}' AS variant,
+               ROUND(COUNT(a.vec_id) / (CAST({k} AS DOUBLE) * (SELECT COUNT(*) FROM pb)), 4)
+                   AS recall_at_k,
+               ROUND((SELECT COUNT(*) FROM cand) /
+                     (CAST({n - 1} AS DOUBLE) * (SELECT COUNT(*) FROM pb)), 4)
+                   AS scan_frac
+        FROM exact x LEFT JOIN ann a ON x.pid = a.pid AND x.vec_id = a.vec_id)
+    """
+
+    cands = {
+        "v2_knn_ivf_probed": f"""
+    {_centroids_spark(emb).strip()},
+    probed AS (
+        SELECT pid, label FROM (
+            SELECT pb.pid, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY pb.pid
+                       ORDER BY {cos("c.cv", "pb.pv")} DESC, c.label) rn
+            FROM centroids c CROSS JOIN pb) WHERE rn <= 2),
+    cand AS (SELECT s.* FROM scored s JOIN probed pr
+             ON s.pid = pr.pid AND s.label = pr.label)""",
+        "v4_knn_lsh_srp": "cand AS (SELECT * FROM scored WHERE eb = pbucket)",
+        "v5_knn_lsh_multiprobe": (
+            "cand AS (SELECT * FROM scored WHERE eb IN ("
+            + ", ".join(f"(pbucket ^ {m})" for m in _MULTIPROBE_MASKS)
+            + "))"
+        ),
+    }
+    out = None
+    for variant, cand_cte in cands.items():
+        df = spark.sql(base.format(cand_cte=cand_cte, variant=variant))
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -556,6 +556,32 @@ _SIMHASH_TAIL_SPARK = """
 """
 
 
+def simhash_candidate_pairs(spark, sf) -> DataFrame:
+    """The candidate PAIR relation inside d4 (its registered query reports
+    per-doc candidate counts): docs agreeing on any band, canonical
+    (doc_a < doc_b) orientation — used by :func:`dedup_agreement_summary`
+    to grade the banding against exact-Jaccard ground truth."""
+    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
+    _staged(
+        spark,
+        _simhash_bands_sql("documents_v", "explode(split(text, ' '))"),
+        "bands_v",
+    )
+    return spark.sql(
+        """
+    WITH bandex AS (
+        SELECT doc_id, bx.i AS band_idx, bx.v AS band_val
+        FROM bands_v LATERAL VIEW explode(array(
+            named_struct('i', 0, 'v', b0), named_struct('i', 1, 'v', b1),
+            named_struct('i', 2, 'v', b2), named_struct('i', 3, 'v', b3))) t AS bx)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandex a JOIN bandex b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """64-bit SimHash signatures (4 x 16-bit bands) + band-bucket candidate
     counts: per-word md5-nibble votes summed per bit, sign → bit. Near-dups
@@ -826,3 +852,50 @@ TEXT_ORACLE = {
     "d7_lang_id": _LANGID_BODY.format(doc="documents", en_expr=_en_expr()),
     "d8_token_count": _TOKCOUNT_DUCK,
 }
+
+
+# --------------------------------------------------- detector agreement
+
+
+def dedup_agreement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured candidate quality of the approximate near-dup detectors —
+    the dedup twin of similarity.ann_recall_summary ("measure, don't
+    guess"). Ground truth = d2's exact capped-vocabulary Jaccard ≥ 0.6
+    pairs; each detector's pair set is compared on (doc_a, doc_b):
+
+    - ``precision`` = |detector ∩ truth| / |detector| — candidate
+      efficiency: the fraction of generated candidates a downstream exact
+      verify would keep (candidates, not final verdicts, are what LSH-style
+      detectors emit; low precision = wasted verification compute),
+    - ``recall``    = |detector ∩ truth| / |truth| — what the bucketing
+      construction misses outright (a candidate never generated can never
+      be verified).
+
+    d9 (winnowing) detects PARTIAL overlap by design, so its false
+    positives against a whole-doc-similarity truth are expected — the
+    number quantifies that difference rather than grading d9 down.
+    All sets are pair relations joined on their keys; no collects."""
+    truth = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    detectors = {
+        "d3_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "d4_dedup_simhash": simhash_candidate_pairs,  # d4's query reports counts
+        "d9_winnow_fingerprint": q_winnow_fingerprint,
+    }
+    n_truth = truth.count()
+    out = None
+    for name, fn in detectors.items():
+        pairs = fn(spark, sf_dir).select("doc_a", "doc_b").distinct()
+        n_pairs = pairs.count()
+        n_hit = pairs.join(truth, ["doc_a", "doc_b"]).count()
+        row = spark.createDataFrame(
+            [(
+                name,
+                n_pairs,
+                n_truth,
+                round(n_hit / n_pairs, 4) if n_pairs else None,
+                round(n_hit / n_truth, 4) if n_truth else None,
+            )],
+            "detector string, n_pairs long, n_truth long, precision double, recall double",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -470,3 +470,27 @@ def test_cc_property_matches_unionfind(spark, raw):
     # are self-loops are absent from its output (documented contract)
     real = {n for a, b in raw if a != b for n in (a, b)}
     assert got_star == {n: l for n, l in want.items() if n in real}
+
+
+def test_dedup_agreement_summary_invariants(spark):
+    """Pins the agreement measurement's structure at sf0.01 (deterministic
+    corpus => deterministic numbers): all three detectors present;
+    precision/recall in [0,1]; d3's band construction is derived from the
+    same shingle sets as the truth so its recall must be high (>= 0.9
+    here); counts are consistent with the rates."""
+    from data_warehouse_etl_spark.functions.textops import dedup_agreement_summary
+
+    rows = {
+        r["detector"]: r
+        for r in dedup_agreement_summary(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(rows) == {
+        "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d9_winnow_fingerprint"
+    }
+    for r in rows.values():
+        assert r["n_truth"] > 0 and r["n_pairs"] > 0
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["recall"] <= 1.0
+        # hits computed both ways must agree: P*|pairs| == R*|truth|
+        assert abs(r["precision"] * r["n_pairs"] - r["recall"] * r["n_truth"]) < 1.0
+    assert rows["d3_dedup_minhash_lsh"]["recall"] >= 0.9

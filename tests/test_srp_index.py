@@ -291,3 +291,28 @@ def test_srp_upsert_invalidates_build_stamp(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_ann_recall_summary_invariants(spark):
+    """Pins the recall measurement's structure, not host-dependent values:
+    v5's candidate set is a strict superset of v4's (the zero mask is in
+    _MULTIPROBE_MASKS) so its recall and scan fraction must both dominate;
+    every variant scans a strict subset of the corpus; recall/scan land in
+    [0, 1]; lift = recall/scan. Deterministic probe stride => same numbers
+    every run at a given sf."""
+    from data_warehouse_etl_spark.functions.similarity import ann_recall_summary
+
+    rows = {
+        r["variant"]: r
+        for r in ann_recall_summary(
+            spark, "/root/testdata/sf0.01", k=10, max_probes=25
+        ).collect()
+    }
+    assert set(rows) == {"v2_knn_ivf_probed", "v4_knn_lsh_srp", "v5_knn_lsh_multiprobe"}
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0.0 < r["scan_frac"] < 1.0
+        assert abs(r["lift"] - round(r["recall_at_k"] / r["scan_frac"], 2)) < 0.02
+    v4, v5 = rows["v4_knn_lsh_srp"], rows["v5_knn_lsh_multiprobe"]
+    assert v5["recall_at_k"] >= v4["recall_at_k"]
+    assert v5["scan_frac"] > v4["scan_frac"]
