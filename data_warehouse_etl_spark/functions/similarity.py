@@ -832,17 +832,25 @@ def ann_recall_summary(
         FROM exact x LEFT JOIN ann a ON x.pid = a.pid AND x.vec_id = a.vec_id)
     """
 
-    cands = {
-        "v2_knn_ivf_probed": f"""
+    def ivf_cand(n_probe: int) -> str:
+        return f"""
     {_centroids_spark(emb).strip()},
     probed AS (
         SELECT pid, label FROM (
             SELECT pb.pid, c.label,
                    ROW_NUMBER() OVER (PARTITION BY pb.pid
                        ORDER BY {cos("c.cv", "pb.pv")} DESC, c.label) rn
-            FROM centroids c CROSS JOIN pb) WHERE rn <= 2),
+            FROM centroids c CROSS JOIN pb) WHERE rn <= {n_probe}),
     cand AS (SELECT s.* FROM scored s JOIN probed pr
-             ON s.pid = pr.pid AND s.label = pr.label)""",
+             ON s.pid = pr.pid AND s.label = pr.label)"""
+
+    cands = {
+        # the IVF dial as a measured CURVE: n_probe = 1, 2 (= the registered
+        # v2 query's setting), 4 — recall is monotone by candidate-superset,
+        # the measured question is how much scan each extra cell buys
+        "v2_ivf_nprobe1": ivf_cand(1),
+        "v2_knn_ivf_probed": ivf_cand(2),
+        "v2_ivf_nprobe4": ivf_cand(4),
         "v4_knn_lsh_srp": "cand AS (SELECT * FROM scored WHERE eb = pbucket)",
         "v5_knn_lsh_multiprobe": (
             "cand AS (SELECT * FROM scored WHERE eb IN ("

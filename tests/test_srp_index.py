@@ -308,7 +308,10 @@ def test_ann_recall_summary_invariants(spark):
             spark, "/root/testdata/sf0.01", k=10, max_probes=25
         ).collect()
     }
-    assert set(rows) == {"v2_knn_ivf_probed", "v4_knn_lsh_srp", "v5_knn_lsh_multiprobe"}
+    assert set(rows) == {
+        "v2_ivf_nprobe1", "v2_knn_ivf_probed", "v2_ivf_nprobe4",
+        "v4_knn_lsh_srp", "v5_knn_lsh_multiprobe",
+    }
     for r in rows.values():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert 0.0 < r["scan_frac"] < 1.0
@@ -316,3 +319,9 @@ def test_ann_recall_summary_invariants(spark):
     v4, v5 = rows["v4_knn_lsh_srp"], rows["v5_knn_lsh_multiprobe"]
     assert v5["recall_at_k"] >= v4["recall_at_k"]
     assert v5["scan_frac"] > v4["scan_frac"]
+    # the IVF n_probe curve: candidate supersets => both recall and scan
+    # fraction monotone in n_probe
+    p1, p2, p4 = (rows[v] for v in
+                  ("v2_ivf_nprobe1", "v2_knn_ivf_probed", "v2_ivf_nprobe4"))
+    assert p1["recall_at_k"] <= p2["recall_at_k"] <= p4["recall_at_k"]
+    assert p1["scan_frac"] < p2["scan_frac"] < p4["scan_frac"]
