@@ -494,3 +494,33 @@ def test_dedup_agreement_summary_invariants(spark):
         # hits computed both ways must agree: P*|pairs| == R*|truth|
         assert abs(r["precision"] * r["n_pairs"] - r["recall"] * r["n_truth"]) < 1.0
     assert rows["d3_dedup_minhash_lsh"]["recall"] >= 0.9
+
+
+def test_simhash_hamming_verify_cuts_the_candidate_flood(spark):
+    """The WWW'07 two-stage pipeline: the verified pair set must be a
+    subset of the banded candidates (verify only removes), strictly
+    smaller on this corpus (the flood is real), with strictly better
+    precision against exact-Jaccard truth and recall bounded by the
+    banding's own ceiling. Also pins the Hamming column: symmetric XOR
+    distance, within [0, max_hamming]."""
+    from data_warehouse_etl_spark.functions.textops import (
+        dedup_agreement_summary,
+        simhash_candidate_pairs,
+        simhash_verified_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    cand = simhash_candidate_pairs(spark, sf)
+    ver = simhash_verified_pairs(spark, sf, max_hamming=6)
+    n_cand, n_ver = cand.count(), ver.count()
+    assert 0 < n_ver < n_cand
+    assert ver.select("doc_a", "doc_b").exceptAll(
+        cand.select("doc_a", "doc_b")
+    ).count() == 0
+    hs = [r["hamming"] for r in ver.select("hamming").collect()]
+    assert all(0 <= h <= 6 for h in hs)
+
+    rows = {r["detector"]: r for r in dedup_agreement_summary(spark, sf).collect()}
+    raw, verified = rows["d4_dedup_simhash"], rows["d4_simhash_hamming_verified"]
+    assert verified["precision"] > raw["precision"]
+    assert verified["recall"] <= raw["recall"]
