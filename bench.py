@@ -74,6 +74,28 @@ def cpu_capacity(procs: int, per: int = 3_000_000) -> float:
     return per * procs * 2 / (time.monotonic() - t0) / 1e6
 
 
+def disk_capacity(mb: int = 128) -> float:
+    """Deliverable sequential-write bandwidth (MB/s): write + fsync a
+    scratch file under the repo's bench dir (same filesystem every replay
+    writes to), then delete it. The I/O twin of :func:`cpu_capacity` —
+    round 5 hit a host window where identical replays ran 3x slower while
+    the CPU probes moved ~15% (host I/O throttling); a disk probe
+    bracketing each pair makes that window attributable from the recorded
+    artifact instead of requiring a cross-session comparison."""
+    path = os.path.join(REPO, ".bench", "_disk_probe.bin")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.monotonic()
+    with open(path, "wb") as fh:
+        for _ in range(mb):
+            fh.write(buf)
+        fh.flush()
+        os.fsync(fh.fileno())
+    dt = time.monotonic() - t0
+    os.unlink(path)
+    return round(mb / dt, 1)
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -324,6 +346,7 @@ def _pair(
 ) -> dict:
     """Interleaved single-batch replays at two pinned widths; medians +
     efficiency + steal-adjusted efficiency + state identity."""
+    disk_before = disk_capacity()
     runs_low, runs_high = [], []
     for _ in range(reps):
         runs_low.append(
@@ -379,6 +402,38 @@ def _pair(
         / ratio,
         3,
     )
+    # Degraded-window self-diagnosis (round 5: a re-run caught the host in
+    # an I/O-throttled window — identical reps spread 4x while the CPU
+    # probes moved ~15%, which the CPU-only normalization cannot correct).
+    # Flag when identical-work reps spread beyond drift (>2.5x) or when a
+    # width's throughput moved far more than its deliverable CPU did
+    # (>2x residual) — the reader of the result JSON then knows the pair
+    # numbers are host weather, not engine behavior.
+    def _spread(rs: list[dict]) -> float:
+        xs = [r["events_per_sec"] for r in rs]
+        return max(xs) / max(min(xs), 1e-9)
+
+    def _io_residual(rs: list[dict]) -> float:
+        # best/worst throughput ratio vs best/worst CPU ratio; >1 means
+        # throughput moved more than deliverable cycles can explain
+        ev = _spread(rs)
+        cp = max(r["cap_mops"] for r in rs) / max(min(r["cap_mops"] for r in rs), 1e-9)
+        return ev / max(cp, 1e-9)
+
+    disk_after = disk_capacity()
+    disk_ratio = max(disk_before, disk_after) / max(min(disk_before, disk_after), 1e-9)
+    window_degraded = bool(
+        disk_ratio > 2.0
+        or (
+            reps >= 2
+            and (
+                _spread(runs_low) > 2.5
+                or _spread(runs_high) > 2.5
+                or _io_residual(runs_low) > 2.0
+                or _io_residual(runs_high) > 2.0
+            )
+        )
+    )
     return {
         "low_cpus": low_cpus,
         "high_cpus": high_cpus,
@@ -386,6 +441,8 @@ def _pair(
         "high_events_per_sec": high["events_per_sec"],
         "low_wall_sec": low["wall_sec"],
         "high_wall_sec": high["wall_sec"],
+        "window_degraded": window_degraded,
+        "disk_mb_s": [disk_before, disk_after],
         "efficiency": round(_med(per_raw), 3),
         "self_normalized_efficiency": round(min(_med(per_norm), 1.0), 3),
         "best_efficiency": round(best_eff, 3),
@@ -1061,7 +1118,7 @@ raw/self-normalized = {round(scaling['efficiency'] / max(scaling['self_normalize
 shortfall the probes actually saw (they agree up to probe noise; both are
 printed so the reader can judge). Whole-pair burn ratio measured once
 before the reps, for contrast with the drift: {scaling['host_capacity_ratio']}.
-{s2_md}{submit_md}{dedup_md}
+{_degraded_md(scaling)}{s2_md}{submit_md}{dedup_md}
 ## Full-width multi-batch run (production cadence)
 
 local[{wide['cpus']}], {wide['batches']} micro-batches over {wide['events']:,} events:
@@ -1107,6 +1164,28 @@ live rows — the correctness half of the north-rule criterion)
     sys.stderr.flush()
     print(json.dumps(result))
     sys.stdout.flush()
+
+
+def _degraded_md(scaling: dict) -> str:
+    disk = scaling.get("disk_mb_s")
+    disk_line = (
+        f"Disk probe bracketing the pair (sequential write+fsync, MB/s): "
+        f"{disk}.\n" if disk else ""
+    )
+    if not scaling.get("window_degraded"):
+        return "\n" + disk_line if disk_line else ""
+    return (
+        "\n**HOST WINDOW DEGRADED during this pair** (self-diagnosed: disk "
+        "probe moved >2x across the pair, identical-work reps spread >2.5x, "
+        "or throughput moved >2x more than the deliverable-CPU probes — a "
+        "non-CPU bottleneck such as host I/O throttling that CPU "
+        "normalization cannot correct; see "
+        f"runs_low={scaling['runs_low']}, runs_high={scaling['runs_high']}, "
+        f"caps_low={scaling['caps_low']}, caps_high={scaling['caps_high']}). "
+        f"{disk_line}"
+        "Treat this pair's efficiency numbers as host weather, not engine "
+        "behavior, and prefer a re-run.\n"
+    )
 
 
 def _dedup_agree_md(da) -> str:
