@@ -907,7 +907,10 @@ def dedup_agreement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d9 (winnowing) detects PARTIAL overlap by design, so its false
     positives against a whole-doc-similarity truth are expected — the
-    number quantifies that difference rather than grading d9 down.
+    number quantifies that difference rather than grading d9 down. The
+    d4 rows measure both stages of the SimHash pipeline: raw banding
+    (candidate flood on template-heavy text) and the Manku Hamming-verify
+    second stage (:func:`simhash_verified_pairs`).
     All sets are pair relations joined on their keys; no collects."""
     truth = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     detectors = {
