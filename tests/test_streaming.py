@@ -228,3 +228,75 @@ def test_stream_scan_skips_settled_dirs(spark, tmp_path):
     finally:
         _os.walk = real_walk
     assert on_disk2 == on_disk1 and settled2 == settled
+
+
+def _write_events(spark, path: str, rows: list[tuple]) -> None:
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(u, dt.datetime.utcfromtimestamp(ts), s) for u, ts, s in rows],
+        "url string, warc_ts timestamp, seq long",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_sessionizer(spark, src: str, ckpt: str, out: str, gap_s: int) -> None:
+    from data_warehouse_etl_spark.streaming.sessionize import sessionize_stream
+
+    events = (
+        spark.readStream.schema("url string, warc_ts timestamp, seq long")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(events, gap_s=gap_s, watermark_delay="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer (the brief's custom stateful
+    streaming operator): in-batch gap closes emit immediately; an open
+    session survives the checkpoint across queries and is closed by the
+    EVENT-TIME TIMEOUT when a later run's watermark passes its gap —
+    bounded-state eviction, not an unbounded keep-everything store."""
+    src, ckpt, out = (str(tmp_path / d) for d in ("events", "ckpt", "sessions"))
+    base = 1_700_000_000
+
+    # run 1: url A has two events 10s apart then a 100s gap then one more
+    # (gap_s=60 => first session closes IN-batch); url B stays open.
+    _write_events(spark, src, [
+        ("A", base + 0, 1), ("A", base + 10, 2), ("A", base + 120, 3),
+        ("B", base + 115, 4),
+    ])
+    _run_sessionizer(spark, src, ckpt, out, gap_s=60)
+    got1 = {
+        (r["url"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("A", 2) in got1  # the in-batch close
+    assert not any(u == "B" for u, _ in got1)  # B is open state, not output
+
+    # run 2 (same checkpoint): far-future events advance the watermark past
+    # A's and B's open sessions + gap => both close via state timeout.
+    _write_events(spark, src, [("C", base + 10_000, 5)])
+    _run_sessionizer(spark, src, ckpt, out, gap_s=60)
+    got2 = {(r["url"], r["n_events"]) for r in spark.read.parquet(out).collect()}
+    assert ("A", 1) in got2 and ("B", 1) in got2
+    # C is the only still-open session: emitted nowhere
+    assert not any(u == "C" for u, _ in got2)
+
+    # slicing invariance: the same five events in ONE run + a fresh
+    # checkpoint reach the same closed-session set
+    src2, ckpt2, out2 = (str(tmp_path / d) for d in ("e2", "c2", "s2"))
+    _write_events(spark, src2, [
+        ("A", base + 0, 1), ("A", base + 10, 2), ("A", base + 120, 3),
+        ("B", base + 115, 4), ("C", base + 10_000, 5),
+    ])
+    _run_sessionizer(spark, src2, ckpt2, out2, gap_s=60)
+    got_one = {(r["url"], r["n_events"]) for r in spark.read.parquet(out2).collect()}
+    assert got_one == got2
