@@ -97,11 +97,12 @@ def _sessionize_fn(gap_s: int):
 
             state.update((start_us, last_us, n))
             # close via watermark: no event within gap_s of the open
-            # session's last event ends it. Clamp past the current
-            # watermark — with late (within-delay) events last+gap can
-            # already be behind it, and Spark rejects a timeout that the
-            # watermark has passed; the clamp fires the timeout at the
-            # next watermark advance, which is exactly "close now".
+            # session's last event ends it. Spark drops pre-watermark input
+            # rows before they reach this operator (pinned by
+            # test_stateful_sessionize_drops_pre_watermark_events), so any
+            # event seen here has last+gap > watermark for gap_s > 0; the
+            # clamp below is defensive for the gap_s=0 boundary, where
+            # Spark rejects a timeout the watermark has already reached.
             timeout_ms = last_us // 1000 + gap_s * 1000
             state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
 

@@ -300,3 +300,27 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     _run_sessionizer(spark, src2, ckpt2, out2, gap_s=60)
     got_one = {(r["url"], r["n_events"]) for r in spark.read.parquet(out2).collect()}
     assert got_one == got2
+
+
+def test_stateful_sessionize_drops_pre_watermark_events(spark, tmp_path):
+    """Late-data contract of the stateful operator: Spark drops input rows
+    older than the watermark BEFORE they reach applyInPandasWithState (the
+    standard stateful-op gate), so a too-late event can neither resurrect
+    closed state nor grow the store — and the query must not fail. With
+    watermark_delay=0, run 1 advances the watermark to base+1000; run 2's
+    base+100 event for url Y is pre-watermark and must vanish entirely
+    (no Y session ever emitted, no error); X's open session still closes
+    by its own timeout on the next advance."""
+    src, ckpt, out = (str(tmp_path / d) for d in ("events", "ckpt", "sessions"))
+    base = 1_700_000_000
+
+    _write_events(spark, src, [("X", base + 1000, 1)])
+    _run_sessionizer(spark, src, ckpt, out, gap_s=60)
+    _write_events(spark, src, [("Y", base + 100, 2)])
+    _run_sessionizer(spark, src, ckpt, out, gap_s=60)  # must not raise
+    _write_events(spark, src, [("X", base + 2000, 3)])
+    _run_sessionizer(spark, src, ckpt, out, gap_s=60)
+
+    got = {(r["url"], r["n_events"]) for r in spark.read.parquet(out).collect()}
+    assert ("X", 1) in got  # X's first session closed via timeout
+    assert not any(u == "Y" for u, _ in got)  # late event was gated out
