@@ -815,26 +815,40 @@ def q_lang_id(spark, sf):
 # -------------------------------------------------------------- token count
 
 
-_TOKCOUNT_SPARK = """
+# GPT-2-style pre-tokenizer shape, ASCII classes only so both engines'
+# regex dialects agree byte-for-byte: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. A real deployment swaps in the
+# model's own tokenizer via a pandas UDF; this regex is the standard cheap
+# estimator for token-budget accounting (counts within a few % of BPE on
+# ASCII-dominated text because BPE merges rarely cross these boundaries).
+_BPE_ISH = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+_BPE_ISH_SPARK = _BPE_ISH.replace("'", "\\'")  # Spark SQL literal escaping
+_BPE_ISH_DUCK = _BPE_ISH.replace("'", "''")  # ANSI doubled-quote escaping
+
+_TOKCOUNT_SPARK = f"""
     SELECT source,
            COUNT(*) AS n_docs,
            SUM(size(split(text, ' '))) AS total_tokens,
-           SUM(size(array_distinct(split(text, ' ')))) AS sum_distinct_tokens
-    FROM {doc} GROUP BY source
+           SUM(size(array_distinct(split(text, ' ')))) AS sum_distinct_tokens,
+           SUM(regexp_count(text, '{_BPE_ISH_SPARK}')) AS bpe_ish_tokens
+    FROM {{doc}} GROUP BY source
 """
 
-_TOKCOUNT_DUCK = """
+_TOKCOUNT_DUCK = f"""
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens
+           CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_ISH_DUCK}'))) AS BIGINT) AS bpe_ish_tokens
     FROM documents GROUP BY source
 """
 
 
 def q_token_count(spark, sf):
     """Token accounting per source: total + per-doc-distinct whitespace
-    tokens (the budget arithmetic of a training-data pipeline)."""
+    tokens AND a BPE-ish subword estimate (GPT-2-pre-tokenizer-shaped
+    regex, see _BPE_ISH) — the budget arithmetic of a training-data
+    pipeline in both the "rows of text" and "model tokens" currencies."""
     return _run(spark, sf, _TOKCOUNT_SPARK.format(doc="documents_v"))
 
 
