@@ -772,8 +772,10 @@ def ann_recall_summary(
     recall-dial claims. For ``max_probes`` deterministically-strided probe
     vectors (every ``N/max_probes``-th vec_id — no RNG, same set every
     run), computes each variant's top-k by cosine within ITS candidate set
-    (IVF: 2 probed cells; SRP: the probe's bucket; multiprobe: the bucket +
-    its Hamming-1 neighbors) and compares against the exact top-k:
+    (IVF measured as an n_probe=1/2/4 CURVE — the middle point is the
+    registered v2 query's setting; SRP: the probe's bucket; multiprobe:
+    the bucket + its Hamming-1 neighbors) and compares against the exact
+    top-k:
 
     - ``recall_at_k``  = mean |ann ∩ exact| / k over probes,
     - ``scan_frac``    = mean candidate rows / corpus — the cost side
