@@ -485,7 +485,8 @@ def test_dedup_agreement_summary_invariants(spark):
         for r in dedup_agreement_summary(spark, "/root/testdata/sf0.01").collect()
     }
     assert set(rows) == {
-        "d3_dedup_minhash_lsh", "d4_dedup_simhash", "d9_winnow_fingerprint"
+        "d3_dedup_minhash_lsh", "d4_dedup_simhash",
+        "d4_simhash_hamming_verified", "d9_winnow_fingerprint",
     }
     for r in rows.values():
         assert r["n_truth"] > 0 and r["n_pairs"] > 0
