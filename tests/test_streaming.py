@@ -324,3 +324,77 @@ def test_stateful_sessionize_drops_pre_watermark_events(spark, tmp_path):
     got = {(r["url"], r["n_events"]) for r in spark.read.parquet(out).collect()}
     assert ("X", 1) in got  # X's first session closed via timeout
     assert not any(u == "Y" for u, _ in got)  # late event was gated out
+
+
+def test_sessionize_stream_equals_batch_sessionization(spark, tmp_path):
+    """Streaming-batch equivalence law for the stateful sessionizer (the
+    same law the engine pins for LWW replay): on a seeded random feed, the
+    streaming operator's closed-session set — once a far-future sentinel
+    advances the watermark past every real session + gap — must equal
+    batch gap-sessionization (lag/cumsum over the same events), for BOTH a
+    one-run and a two-run (checkpoint-resumed) slicing."""
+    import random
+
+    rng = random.Random(20260818)
+    base = 1_700_000_000
+    rows, seq = [], 0
+    for url in ("u1", "u2", "u3"):
+        t = base + rng.randrange(0, 30)
+        for _ in range(30):
+            seq += 1
+            rows.append((url, t, seq))
+            # mostly in-session gaps, occasionally a session break
+            t += rng.choice([5, 10, 20, 200, 500]) if rng.random() < 0.3 else rng.randrange(1, 50)
+    sentinel = [("__wm__", base + 1_000_000, seq + 1)]
+
+    # batch oracle: gap>60s split per url via lag + running session count
+    import datetime as dt
+    batch_df = spark.createDataFrame(
+        [(u, dt.datetime.utcfromtimestamp(ts), s) for u, ts, s in rows],
+        "url string, warc_ts timestamp, seq long",
+    )
+    batch_df.createOrReplaceTempView("sess_events_v")
+    want = {
+        (r["url"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("""
+            WITH flagged AS (
+                SELECT url, warc_ts,
+                       CASE WHEN unix_timestamp(warc_ts)
+                                 - unix_timestamp(lag(warc_ts) OVER
+                                   (PARTITION BY url ORDER BY warc_ts, seq)) > 60
+                            OR lag(warc_ts) OVER
+                               (PARTITION BY url ORDER BY warc_ts, seq) IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM sess_events_v),
+            numbered AS (
+                SELECT url, warc_ts,
+                       SUM(new_sess) OVER (PARTITION BY url ORDER BY warc_ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+            SELECT url, MIN(warc_ts) AS session_start, MAX(warc_ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM numbered GROUP BY url, sid
+        """).collect()
+    }
+
+    def run_streaming(slices: list[list[tuple]], tag: str) -> set:
+        src, ckpt, out = (str(tmp_path / f"{d}_{tag}") for d in ("ev", "ck", "out"))
+        for chunk in slices:
+            _write_events(spark, src, chunk)
+            _run_sessionizer(spark, src, ckpt, out, gap_s=60)
+        return {
+            (r["url"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+            if r["url"] != "__wm__"
+        }
+
+    one = run_streaming([rows + sentinel], "one")
+    # slice by TIME, not arrival-list order: run 2's watermark starts at
+    # run 1's max event time, so a run-2 event older than that is LATE and
+    # correctly gated (pinned by the drops test above) — a real tail
+    # delivers in rough time order, which time-slicing models
+    rows_t = sorted(rows, key=lambda r: (r[1], r[2]))
+    mid = len(rows_t) // 2
+    two = run_streaming([rows_t[:mid], rows_t[mid:] + sentinel], "two")
+    assert one == want
+    assert two == want
