@@ -9,8 +9,9 @@ pixels are decoded for real** (inflate + scanline defilter,
 (:func:`jpeg_dimensions`), **WAV metadata AND 16-bit-PCM samples**
 (:func:`wav_metadata` / :func:`wav_pcm_samples` → rms/peak/zero-crossing
 features), **MP4 duration/dimensions from the moov box**
-(:func:`mp4_metadata`). Only compressed-codec payloads (JPEG pixels,
-MP3/AAC samples, video frames) need libraries this container cannot
+(:func:`mp4_metadata`), **MP3 bitrate/rate/channels/duration from the
+frame header** (:func:`mp3_metadata`). Only compressed-codec payloads
+(JPEG pixels, MP3/AAC samples, video frames) need libraries this container cannot
 install and fall back to a clearly-marked deterministic byte-histogram
 stub (:func:`_byte_hist`) — a deployment installs pillow/av and replaces
 that one branch. The reference's closest analog is its photo-count JSON pipeline
@@ -335,14 +336,62 @@ def wav_pcm_samples(data: bytes) -> tuple[int, "array.array"]:
     return nch, samples
 
 
+# MPEG-1 Layer III frame-header tables (ISO 11172-3): bitrate kbps by
+# index, sample rate Hz by index. Index 0 ("free") and 15 ("bad") invalid.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def mp3_metadata(data: bytes) -> tuple[int, int, int, int]:
+    """REAL MP3 metadata from the first MPEG-1 Layer III frame header
+    (round 5, mirroring the JPEG SOF approach): skip an ID3v2 tag if
+    present, find the 11-bit frame sync, and read (bitrate_kbps,
+    sample_rate, channels, duration_ms_estimate) — duration estimated as
+    audio_bytes*8/bitrate (exact for CBR, the dominant encoding; VBR would
+    read the Xing frame count the same way). Pure stdlib, no sample
+    decode. Raises ValueError on non-MP3 / free-format / bad headers."""
+    pos = 0
+    if data[0:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit tag size (7 bits per byte)
+        size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        pos = 10 + size
+    end = min(len(data) - 3, pos + 4096)  # sync must appear near the start
+    while pos <= end:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            version = (data[pos + 1] >> 3) & 0x3  # 3 = MPEG-1
+            layer = (data[pos + 1] >> 1) & 0x3  # 1 = Layer III
+            if version == 3 and layer == 1:
+                bitrate = _MP3_BITRATES[(data[pos + 2] >> 4) & 0xF]
+                rate = _MP3_RATES[(data[pos + 2] >> 2) & 0x3]
+                nch = 1 if ((data[pos + 3] >> 6) & 0x3) == 3 else 2
+                if bitrate and rate:
+                    dur_ms = int(round((len(data) - pos) * 8 / bitrate))
+                    return bitrate, rate, nch, dur_ms
+            pos += 1
+        else:
+            pos += 1
+    raise ValueError("no MPEG-1 Layer III frame header")
+
+
 def _decode_audio(content: bytes) -> list[float]:
     """Audio → [channels, sample_rate, bits, duration_ms] from REAL
     WAV/RIFF headers (round 5), then for 16-bit PCM (the dominant WAV
     encoding) REAL sample features over channel 0 — [rms, peak,
     zero-crossing rate], all normalized to [0, 1] and rounded to 6 places
-    (deterministic at any parallelism). Compressed codecs keep the
-    byte-histogram payload stub (their decode needs libraries this
-    container cannot install); non-WAV: histogram stub alone."""
+    (deterministic at any parallelism). MP3 gets REAL frame-header
+    metadata (:func:`mp3_metadata`: [channels, sample_rate, bitrate_kbps,
+    duration_ms]) + the byte-histogram payload stub (its sample decode
+    needs codec libraries this container cannot install); other
+    compressed codecs / non-audio: histogram stub alone."""
+    looks_mp3 = content[0:3] == b"ID3" or (
+        len(content) > 1 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+    )
+    if looks_mp3:
+        try:
+            br, rate, nch, dur = mp3_metadata(content)
+            return [float(nch), float(rate), float(br), float(dur)] + _byte_hist(content)
+        except (ValueError, struct.error, IndexError):
+            return _byte_hist(content)
     try:
         nch, rate, bits, dur = wav_metadata(content)
     except (ValueError, struct.error, IndexError):

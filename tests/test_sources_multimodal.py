@@ -448,3 +448,56 @@ def test_decode_media_never_raises_on_malformed_bytes():
         for blob in corpus:
             feats = _decode_media(kind, blob)  # must not raise
             assert isinstance(feats, list) and all(isinstance(v, float) for v in feats)
+
+
+def _golden_mp3() -> bytes:
+    """Hand-assembled CBR MPEG-1 Layer III stream behind an ID3v2 tag:
+    128 kbps, 44100 Hz, joint stereo; 10 frames of the canonical
+    417/418-byte frame size (here fixed 417 for determinism)."""
+    import struct
+
+    tag_body = b"\x00" * 100  # 100-byte ID3v2 tag body
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + tag_body
+    # sync=0xFFF, MPEG-1 (11), Layer III (01), no CRC (1) -> 0xFF 0xFB
+    # bitrate idx 9 (128k), rate idx 0 (44100), pad 0, priv 0 -> 0x90
+    # joint stereo (01) ... -> 0x44
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x44])
+    frame = hdr + b"\x11" * (417 - 4)
+    return id3 + frame * 10
+
+
+def test_mp3_metadata_golden():
+    from data_warehouse_etl_spark.functions.multimodal import mp3_metadata
+
+    blob = _golden_mp3()
+    br, rate, nch, dur = mp3_metadata(blob)
+    assert (br, rate, nch) == (128, 44100, 2)
+    # duration estimate = audio_bytes*8/bitrate_kbps = 4170*8/128 ms
+    assert dur == round(4170 * 8 / 128)
+
+    import pytest
+    with pytest.raises(ValueError):
+        mp3_metadata(b"\x00" * 64)  # no sync
+    with pytest.raises(ValueError):
+        mp3_metadata(b"ID3\x04\x00\x00\x00\x00\x00\x04" + b"\x00" * 20)  # tag only
+
+
+def test_mp3_through_decode_audio_and_fuzz():
+    from data_warehouse_etl_spark.functions.multimodal import (
+        _decode_audio,
+        _decode_media,
+    )
+
+    feats = _decode_audio(_golden_mp3())
+    assert feats[:4] == [2.0, 44100.0, 128.0, float(round(4170 * 8 / 128))]
+    assert len(feats) == 4 + 8  # metadata + payload histogram stub
+    # never-raise contract extends to truncations/corruptions of the MP3
+    import random
+    rng = random.Random(7)
+    g = _golden_mp3()
+    for cut in range(0, len(g), 37):
+        _decode_media("audio", g[:cut])
+    for _ in range(30):
+        b = bytearray(g)
+        b[rng.randrange(len(g))] = rng.randrange(256)
+        _decode_media("audio", bytes(b))
