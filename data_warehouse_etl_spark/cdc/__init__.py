@@ -2,6 +2,7 @@ from .extract import extract_text_bytes, extract_text_udf, detect_lang_str, dete
 from .gen import generate_ledger, LedgerSpec
 from .dedup import lww_dedup, lww_dedup_salted, lww_dedup_auto
 from .engine import CdcEngine, EngineConfig
+from .ivm import IncrementalAggregate
 from .schedule import ScheduleTable
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "lww_dedup_auto",
     "CdcEngine",
     "EngineConfig",
+    "IncrementalAggregate",
     "ScheduleTable",
 ]

@@ -256,6 +256,41 @@ class CdcEngine:
         self.pages = self.pages.refresh()
         return self.read_pages()
 
+    def changelog(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        update_images: str = "post",
+    ) -> DataFrame:
+        """CDC *out*: the net live-row changes of the pages table between two
+        of its snapshots, as user-facing columns + ``_change_type``
+        (insert/update/delete) — what a downstream consumer (an index
+        maintainer, a mirror warehouse, the reference's incremental-feed
+        subscribers) tails instead of re-reading the table.
+
+        Engine conventions applied on top of :meth:`LakeTable.read_changes`:
+        tombstones are filtered to the live view on BOTH sides (so an
+        in-interval insert+delete nets to nothing and a delete of a live key
+        surfaces as ``delete`` carrying the last live image), and the
+        bookkeeping columns (``_seq``/``_deleted``) are excluded from the
+        comparison — an upsert that rewrote identical values is not an
+        update. Snapshot-diff semantics: changelogs over adjacent intervals
+        compose to the whole interval's changelog.
+        """
+        def live(df: DataFrame) -> DataFrame:
+            if "_deleted" in df.columns:
+                return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            return df
+
+        return self.pages.read_changes(
+            self.spark,
+            from_version,
+            to_version,
+            exclude=list(INTERNAL_COLS),
+            row_filter=live,
+            update_images=update_images,
+        )
+
     def _ledger_stats_fresh(self) -> bool:
         """True when the ledger writer's table-level stats are usable: a
         ``stats_files`` stamp matching the current manifest's file count.

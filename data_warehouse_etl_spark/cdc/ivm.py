@@ -1,0 +1,197 @@
+"""Incremental view maintenance: derived aggregates fed by the changelog.
+
+The reference maintains every downstream aggregate by full recompute on a
+schedule (366-day lookback re-aggregations,
+``/root/reference/Sql Scripts/Monthly Stats - Fact Scripts.sql``; nightly
+fact rebuilds throughout). At 10^10 source rows a nightly recompute of a
+per-group rollup re-reads the world to refresh groups that mostly did not
+change. This module is the CDC-out consumer that replaces that idiom: an
+additive ``GROUP BY`` aggregate stored as its own LakeTable and advanced by
+applying the engine's changelog interval — cost O(changed rows + touched
+groups), never O(source table).
+
+Maintenance algebra (classic IVM for additive measures): every changelog
+row contributes with a sign — ``insert``/``update_postimage`` add, and
+``delete``/``update_preimage`` retract. The changelog's ``"both"`` image
+mode exists precisely so updates retract their old contribution. COUNT is
+``sum(sign)``; SUM(col) is ``sum(sign * coalesce(col, 0))`` — NULL measures
+are defined as 0 so the incremental path and the recompute path agree on
+groups whose values are all NULL.
+
+Exactly-once: the aggregate table records the source snapshot version it
+reflects (``source_version`` property) in the SAME atomic commit as the
+data, so a crashed or re-run ``refresh()`` either no-ops or re-derives the
+identical interval — the engine's checkpoint idiom, one level downstream.
+A source interval whose starting snapshot has been expired (retention GC)
+falls back to one full recompute and is exact again from there.
+
+Physical shape: the aggregate table is merge-on-read keyed by the group
+tuple (canonicalized to one ``_gk`` string — also the bucket key, so null
+group values join and bucket deterministically). A refresh appends ONE
+delta row per *changed group*; unchanged groups are never rewritten.
+Reads of old totals during a refresh are bucket-pruned to the changed
+groups' buckets. Groups whose count returns to 0 stay as dead rows until
+:meth:`compact`; :meth:`read` filters them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+
+_SRC_VER_PROP = "ivm.source_version"
+_NULL = "\x00"
+
+
+def _gk_expr(group_cols: list[str]) -> F.Column:
+    """Canonical group key: null-sentinel concat (state_hash's convention),
+    so NULL group values are first-class join/bucket keys."""
+    return F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in group_cols]
+    )
+
+
+class IncrementalAggregate:
+    """COUNT + SUM rollup over an engine's live pages view, maintained from
+    :meth:`CdcEngine.changelog` intervals.
+
+    ``group_cols`` — grouping columns of the live view; ``sum_cols`` —
+    numeric columns aggregated as SUM (NULL counted as 0). The COUNT measure
+    (``n``) is always present.
+    """
+
+    def __init__(
+        self,
+        engine,
+        path: str,
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+        num_buckets: int = 16,
+    ):
+        self.eng = engine
+        self.spark: SparkSession = engine.spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols or [])
+        src_fields = {f.name: f.type for f in engine.pages.manifest.current_fields}
+        schema = [("_gk", "string")]
+        schema += [(c, src_fields.get(c, "string")) for c in self.group_cols]
+        schema += [("n", "bigint")]
+        schema += [(f"sum_{c}", "double") for c in self.sum_cols]
+        schema += [("_src_ver", "bigint")]
+        if LakeTable.exists(path):
+            self.table = LakeTable.load(path)
+        else:
+            self.table = LakeTable.create(
+                path,
+                schema=schema,
+                bucket_col="_gk",
+                num_buckets=num_buckets,
+                row_key="_gk",
+                version_cols=["_src_ver"],
+            )
+
+    # ------------------------------------------------------------------ read
+
+    @property
+    def source_version(self) -> int:
+        return int(self.table.manifest.properties.get(_SRC_VER_PROP, "-1"))
+
+    def read(self) -> DataFrame:
+        """Current aggregate: one row per live group."""
+        df = self.table.read(self.spark)
+        return df.filter(F.col("n") > 0).drop("_gk", "_src_ver")
+
+    # ----------------------------------------------------------------- write
+
+    def _measures(self, sign: F.Column) -> list[F.Column]:
+        aggs = [F.sum(sign).cast("bigint").alias("n")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(sign * F.coalesce(F.col(c).cast("double"), F.lit(0.0))).alias(f"sum_{c}")
+            )
+        return aggs
+
+    def _recompute(self, src_version: int) -> dict:
+        live = self.eng.read_pages()
+        agg = (
+            live.groupBy(*self.group_cols)
+            .agg(*self._measures(F.lit(1)))
+            .withColumn("_gk", _gk_expr(self.group_cols))
+            .withColumn("_src_ver", F.lit(src_version).cast("bigint"))
+        )
+        self.table = self.table.replace(
+            agg, properties_update={_SRC_VER_PROP: str(src_version)}
+        )
+        return {"mode": "recompute", "from": None, "to": src_version}
+
+    def refresh(self) -> dict:
+        """Advance the aggregate to the source's current snapshot.
+
+        No-op if already current. First call (or an interval whose starting
+        snapshot was expired) recomputes once; every other call applies the
+        changelog delta: one pruned read of the changed groups' buckets, one
+        null-safe join on ``_gk``, one delta commit of changed groups only.
+        """
+        self.table = self.table.refresh()
+        self.eng.pages = self.eng.pages.refresh()
+        cur = self.eng.pages.manifest.version
+        last = self.source_version
+        if last == cur:
+            return {"mode": "noop", "from": last, "to": cur}
+        if last < 0:
+            return self._recompute(cur)
+        try:
+            cl = self.eng.changelog(last, cur, update_images="both")
+        except ValueError:
+            # the starting snapshot aged out of retention — pay one recompute
+            return self._recompute(cur)
+
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            cl.withColumn("_sign", sign)
+            .groupBy(*self.group_cols)
+            .agg(*self._measures(F.col("_sign")))
+            .withColumn("_gk", _gk_expr(self.group_cols))
+        )
+        # prune the old-totals read to the changed groups' buckets; the
+        # collect is ≤ num_buckets small ints, never data rows
+        bexpr = F.pmod(F.xxhash64(F.col("_gk")), F.lit(self.table.manifest.num_buckets))
+        buckets = [
+            r["b"] for r in delta.select(bexpr.cast("int").alias("b")).distinct().collect()
+        ]
+        if not buckets:
+            self.table = self.table.set_properties({_SRC_VER_PROP: str(cur)})
+            return {"mode": "delta", "from": last, "to": cur, "groups_changed": 0}
+        old = self.table.read(self.spark, buckets=buckets).select(
+            "_gk", F.col("n").alias("_old_n"),
+            *[F.col(f"sum_{c}").alias(f"_old_sum_{c}") for c in self.sum_cols],
+        )
+        merged = delta.join(old, on="_gk", how="left").select(
+            "_gk",
+            *self.group_cols,
+            (F.coalesce(F.col("_old_n"), F.lit(0)) + F.col("n")).alias("n"),
+            *[
+                (
+                    F.coalesce(F.col(f"_old_sum_{c}"), F.lit(0.0)) + F.col(f"sum_{c}")
+                ).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+            F.lit(cur).cast("bigint").alias("_src_ver"),
+        )
+        n_changed = merged.count()
+        self.table = self.table.append_deltas(
+            merged, properties_update={_SRC_VER_PROP: str(cur)}
+        )
+        return {"mode": "delta", "from": last, "to": cur, "groups_changed": n_changed}
+
+    def compact(self) -> None:
+        """Fold MoR deltas and drop dead (n=0) groups."""
+        live = self.table.read(self.spark).filter(F.col("n") > 0)
+        self.table = self.table.replace(
+            live, properties_update={_SRC_VER_PROP: str(self.source_version)}
+        )

@@ -195,11 +195,26 @@ class LakeTable:
         return LakeTable(path, m)
 
     @staticmethod
-    def load(path: str) -> "LakeTable":
-        with open(os.path.join(path, "metadata", _POINTER)) as fh:
-            version = int(fh.read().strip())
-        with open(os.path.join(path, "metadata", f"v{version}.json")) as fh:
-            return LakeTable(path, Manifest.from_json(json.load(fh)))
+    def load(path: str, version: int | None = None) -> "LakeTable":
+        """Load the current snapshot, or a retained historical one.
+
+        ``version=None`` resolves the pointer (current snapshot). An explicit
+        ``version`` is time travel: the returned handle reads that snapshot's
+        file set under that snapshot's schema. Historical handles are
+        naturally read-only — any commit from one fails the pointer-version
+        CAS in :meth:`_commit`. Analog of Iceberg's ``VERSION AS OF``.
+        """
+        if version is None:
+            with open(os.path.join(path, "metadata", _POINTER)) as fh:
+                version = int(fh.read().strip())
+        try:
+            with open(os.path.join(path, "metadata", f"v{version}.json")) as fh:
+                return LakeTable(path, Manifest.from_json(json.load(fh)))
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{version} of {path} is not retained "
+                "(expired by expire_snapshots, or never existed)"
+            ) from None
 
     @staticmethod
     def exists(path: str) -> bool:
@@ -664,6 +679,288 @@ class LakeTable:
             # crash can never publish a manifest whose bucket_col names a
             # column that no longer exists
             bucket_col_override=new if m.bucket_col == old else None,
+        )
+
+    # ------------------------------------- snapshots / time travel / changelog
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        """List retained snapshots (Iceberg ``.snapshots`` metadata-table
+        analog): ``[{"version", "operation", "current"}]``, oldest first.
+
+        "Retained" = the manifest file still exists; :meth:`expire_snapshots`
+        removes old ones, and expired versions disappear from this listing
+        even though they stay in the current manifest's ``history``."""
+        mdir = os.path.join(self.path, "metadata")
+        retained = sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(mdir)
+            if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+        )
+        ops = {h["version"]: h.get("operation", "?") for h in self.manifest.history}
+        return [
+            {
+                "version": v,
+                "operation": ops.get(v, "?"),
+                "current": v == self.manifest.version,
+            }
+            for v in retained
+        ]
+
+    def at_version(self, version: int) -> "LakeTable":
+        """Time-travel handle: read this table as of snapshot ``version``."""
+        return LakeTable.load(self.path, version)
+
+    def rollback(self, version: int) -> "LakeTable":
+        """Restore an earlier snapshot's state as a NEW commit (Iceberg
+        ``rollback_to_snapshot``): the current pointer advances to a manifest
+        whose file set + schema version are the old snapshot's. Nothing is
+        deleted — the rolled-past snapshots stay retained (and inspectable /
+        re-rollback-able) until :meth:`expire_snapshots`.
+
+        ``next_field_id`` keeps the CURRENT counter so a post-rollback
+        ``add_column`` can never reuse a field id that existed on the
+        rolled-past timeline. Do not run concurrently with
+        ``expire_snapshots`` (it may be deleting v{version}'s data files).
+        """
+        m = self.manifest
+        old = LakeTable.load(self.path, version).manifest
+        return self._commit(
+            old.files,
+            f"rollback:v{version}",
+            schema_version=old.schema_version,
+            bucket_col_override=(
+                old.bucket_col if old.bucket_col != m.bucket_col else None
+            ),
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Retention GC (Iceberg ``expire_snapshots``): keep the newest
+        ``keep_last`` snapshots, delete older manifests and every data file
+        referenced ONLY by expired snapshots.
+
+        Runs under the commit lock (serialized against committers). Deletion
+        order is crash-safe in the direction that matters: expired manifests
+        are unlinked FIRST, so a crash mid-way leaves only orphaned data
+        files, never a retained manifest with missing files. Only files
+        referenced by an expired manifest are deletion candidates — data/
+        is NOT swept, because a concurrent writer's files legitimately sit
+        there before its manifest commit. No new snapshot is created — like
+        Iceberg, expiration is metadata cleanup, not a table mutation.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        lock = os.path.join(self.path, "metadata", "commit.lock")
+        fd = self._acquire_lock(lock)
+        try:
+            cur = LakeTable.load(self.path)  # re-resolve under the lock
+            mdir = os.path.join(self.path, "metadata")
+            versions = sorted(
+                int(fn[1:-5])
+                for fn in os.listdir(mdir)
+                if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit()
+            )
+            keep = set(versions[-keep_last:])
+            keep.add(cur.manifest.version)  # never expire the live snapshot
+            expired = [v for v in versions if v not in keep]
+
+            def refs(vs) -> set:
+                out: set = set()
+                for v in vs:
+                    try:
+                        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+                            out |= {f["path"] for f in json.load(fh)["files"]}
+                    except FileNotFoundError:
+                        continue  # prior interrupted expire already removed it
+                return out
+
+            retained_refs = refs(keep)
+            expired_refs = refs(expired)
+            for v in expired:
+                try:
+                    os.unlink(os.path.join(mdir, f"v{v}.json"))
+                except FileNotFoundError:
+                    pass
+            removed = 0
+            for rel in sorted(expired_refs - retained_refs):
+                try:
+                    os.unlink(os.path.join(self.path, rel))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+            return {
+                "expired_snapshots": len(expired),
+                "data_files_removed": removed,
+                "retained_snapshots": len(keep & set(versions)),
+            }
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    @staticmethod
+    def _changed_buckets(from_m: Manifest, to_m: Manifest) -> list[int] | None:
+        """Buckets whose FILE set differs between two snapshots — a superset
+        of the buckets containing changed rows, because the bucket transform
+        is on the row key and a bucket whose files are untouched is
+        value-identical by construction. ``None`` = no pruning possible
+        (unbucketed table, or the bucket layout itself changed)."""
+        if (
+            to_m.bucket_col is None
+            or from_m.bucket_col != to_m.bucket_col
+            or from_m.num_buckets != to_m.num_buckets
+        ):
+            return None
+        old = {f["path"]: f["bucket"] for f in from_m.files}
+        new = {f["path"]: f["bucket"] for f in to_m.files}
+        touched = {b for p, b in new.items() if p not in old}
+        touched |= {b for p, b in old.items() if p not in new}
+        return sorted(touched)
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        exclude: list[str] | None = None,
+        row_filter=None,
+        update_images: str = "post",
+    ) -> DataFrame:
+        """Incremental / changelog read (CDC *out* — Iceberg
+        ``create_changelog_view`` analog): the NET row changes between two
+        snapshots, as the ``to``-side schema plus a ``_change_type`` column
+        (``insert`` / ``update`` / ``delete``; deletes carry the old image,
+        the rest the new image).
+
+        ``update_images="both"`` matches Iceberg's changelog convention for
+        updates: each updated key emits TWO rows, ``update_preimage`` (old
+        values) and ``update_postimage`` (new values), which is what additive
+        downstream maintenance needs (retract the old contribution, add the
+        new — see ``cdc/ivm.py``). The default ``"post"`` emits one
+        ``update`` row carrying the new image.
+
+        Semantics are state-diff, not event-log replay: a key upserted five
+        times between the snapshots yields ONE update row; a key inserted
+        and deleted within the interval yields nothing. Changelogs therefore
+        compose — applying changes(v1,v2) then changes(v2,v3) to snapshot v1
+        reproduces exactly the state changes(v1,v3) produces.
+
+        Scale shape: both snapshots are read pruned to
+        :meth:`_changed_buckets` — for an incremental (delta-append) commit
+        interval that is the touched buckets only, so cost tracks the CHANGE
+        volume, not the table. The classification itself is one full-outer
+        join on the row key over those buckets. Old-snapshot rows are mapped
+        to the to-side schema by field id first, so renames never surface as
+        spurious updates.
+
+        ``exclude`` drops bookkeeping columns from both the comparison and
+        the output (the CDC engine passes its ``_seq``/``_deleted``);
+        ``row_filter(df) -> df`` restricts both sides to the logical live
+        view before diffing (the engine filters tombstones). Tables with no
+        ``row_key`` diff on the whole row and emit insert/delete only.
+        """
+        m = self.manifest
+        to_v = m.version if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        to_tbl = self if to_v == m.version else LakeTable.load(self.path, to_v)
+        from_tbl = LakeTable.load(self.path, from_version)
+        buckets = self._changed_buckets(from_tbl.manifest, to_tbl.manifest)
+        if buckets == []:  # pure-metadata interval (schema/properties only)
+            out_fields = [
+                f for f in to_tbl.manifest.current_fields
+                if not (exclude and f.name in exclude)
+            ]
+            empty = T.StructType(
+                [T.StructField(f.name, _spark_type(f.type), True) for f in out_fields]
+                + [T.StructField("_change_type", T.StringType(), True)]
+            )
+            return spark.createDataFrame([], empty)
+
+        new_df = to_tbl.read(spark, buckets=buckets)
+        old_df = from_tbl.read(spark, buckets=buckets)
+        # field-id alignment of the old snapshot onto the to-side schema
+        old_by_id = {f.id: f for f in from_tbl.manifest.current_fields}
+        aligned = []
+        for f in to_tbl.manifest.current_fields:
+            o = old_by_id.get(f.id)
+            if o is not None:
+                aligned.append(F.col(o.name).cast(_spark_type(f.type)).alias(f.name))
+            else:
+                aligned.append(F.lit(None).cast(_spark_type(f.type)).alias(f.name))
+        old_df = old_df.select(*aligned)
+        if row_filter is not None:
+            new_df = row_filter(new_df)
+            old_df = row_filter(old_df)
+        drop = set(exclude or [])
+        out_cols = [f.name for f in to_tbl.manifest.current_fields if f.name not in drop]
+        new_df = new_df.select(*out_cols)
+        old_df = old_df.select(*out_cols)
+
+        key = to_tbl.manifest.row_key
+        if key is None or key in drop:
+            ins = new_df.exceptAll(old_df).withColumn("_change_type", F.lit("insert"))
+            dels = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
+            return ins.unionByName(dels)
+
+        if update_images not in ("post", "both"):
+            raise ValueError(f"update_images must be 'post' or 'both', got {update_images!r}")
+        val_cols = [c for c in out_cols if c != key]
+        n = new_df.withColumn("_n_present", F.lit(True)).alias("n")
+        o = old_df.withColumn("_o_present", F.lit(True)).alias("o")
+        joined = n.join(o, on=key, how="full_outer")
+        differs = F.lit(False)
+        for c in val_cols:
+            differs = differs | ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        ctype = (
+            F.when(F.col("o._o_present").isNull(), F.lit("insert"))
+            .when(F.col("n._n_present").isNull(), F.lit("delete"))
+            .when(differs, F.lit("update"))
+        )
+        if update_images == "post":
+            image = [
+                F.when(ctype == "delete", F.col(f"o.{c}"))
+                .otherwise(F.col(f"n.{c}"))
+                .alias(c)
+                for c in val_cols
+            ]
+            return (
+                joined.withColumn("_change_type", ctype)
+                .filter(F.col("_change_type").isNotNull())
+                .select(key, *image, "_change_type")
+            )
+        # "both": one classified row per key, then explode updates into
+        # (preimage, postimage) pairs — a single generator projection, no
+        # second join. Each emitted element carries its own image+label.
+        pre = F.struct(
+            *[F.col(f"o.{c}").alias(c) for c in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = F.struct(
+            *[F.col(f"n.{c}").alias(c) for c in val_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        ins = F.struct(
+            *[F.col(f"n.{c}").alias(c) for c in val_cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        del_ = F.struct(
+            *[F.col(f"o.{c}").alias(c) for c in val_cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        # unchanged keys fall through every when() to NULL; explode(NULL)
+        # emits no rows, which IS the filter
+        rows = (
+            F.when(ctype == "insert", F.array(ins))
+            .when(ctype == "delete", F.array(del_))
+            .when(ctype == "update", F.array(pre, post))
+        )
+        exploded = joined.select(F.col(key), F.explode(rows).alias("_ch"))
+        return exploded.select(
+            key,
+            *[F.col(f"_ch.{c}").alias(c) for c in val_cols],
+            F.col("_ch._change_type").alias("_change_type"),
         )
 
     # ------------------------------------------------------------- internals
