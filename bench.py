@@ -899,6 +899,26 @@ def main() -> None:
         except Exception as e:
             dedup_agree = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # 7. CDC-out cost (round 5): changelog + IVM refresh of a quiet update
+    # interval on a dedicated deterministic table — rows-read fraction is
+    # the scale signal; walls at this size are job-overhead-bound.
+    cdc_out = None
+    if os.environ.get("SPARK_GRAFT_CDC_OUT", "1") != "0":
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "cdcout_bench.py"),
+                 os.path.join(REPO, ".bench", "cdcout")],
+                capture_output=True, text=True, timeout=900, cwd=REPO,
+            )
+            for line in p.stdout.splitlines():
+                if line.startswith("CDC_OUT "):
+                    cdc_out = json.loads(line[len("CDC_OUT "):])
+                    break
+            if cdc_out is None:
+                raise RuntimeError(f"no result line (rc={p.returncode})")
+        except Exception as e:
+            cdc_out = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "cdc_replay_wall",
         "value": scaling["high_wall_sec"],
@@ -930,6 +950,7 @@ def main() -> None:
         "index_parity": index_parity,
         "ann_recall": ann_recall,
         "dedup_agreement": dedup_agree,
+        "cdc_out": cdc_out,
         "query_bench": qmeta,
     }
 
@@ -1152,6 +1173,10 @@ read back via ``engine.schedule.latest()``): process
 
 {_dedup_agree_md(dedup_agree)}
 
+## CDC-out: changelog + incremental view maintenance (round 5)
+
+{_cdc_out_md(cdc_out)}
+
 **Byte-identical final state across every run at every width and batch
 slicing: {hashes_ok}** (order-insensitive xxhash64 content hash over all
 live rows — the correctness half of the north-rule criterion)
@@ -1164,6 +1189,26 @@ live rows — the correctness half of the north-rule criterion)
     sys.stderr.flush()
     print(json.dumps(result))
     sys.stdout.flush()
+
+
+def _cdc_out_md(c) -> str:
+    if not c:
+        return "disabled"
+    if "error" in c:
+        return f"error: {c['error']}"
+    return (
+        f"After a {c['events']:,}-event replay (bucket({c['num_buckets']}, url)), a quiet\n"
+        f"tail interval updates {c['quiet_urls']} urls. The changelog read prunes to\n"
+        f"{c['buckets_scanned']}/{c['num_buckets']} buckets — {c['rows_read_changelog']:,} raw rows read across both\n"
+        f"snapshots vs {c['rows_live_total']:,} live rows per full scan (scan fraction\n"
+        f"{c['scan_fraction']}, and it shrinks linearly with interval size at fixed\n"
+        f"layout) — emitting exactly {c['changelog_rows']} change rows in {c['changelog_sec']}s\n"
+        f"(full live-view scan for contrast: {c['full_scan_sec']}s). The changelog-fed\n"
+        f"rollup (cdc/ivm.py) refreshes in {c['ivm_delta_sec']}s vs {c['ivm_recompute_sec']}s from-scratch,\n"
+        f"value-identical: {c['ivm_matches_recompute']} — walls are job-overhead-bound at\n"
+        f"this toy size (the delta path touches {c['ivm_groups_changed']} groups; the rows-read\n"
+        f"ratio above is what scales to 10^10)."
+    )
 
 
 def _degraded_md(scaling: dict) -> str:

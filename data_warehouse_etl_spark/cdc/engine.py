@@ -173,6 +173,12 @@ class EngineConfig:
     # (the reference's "Schedule Frequency" metadata: daily | monthly |
     # on_demand | run_time | cron:<expr> — free-form, purely observational)
     schedule_frequency: str = "on_demand"
+    # snapshot retention: after each run(), expire all but the newest N
+    # pages-table snapshots (0 = keep everything — replay/debug mode).
+    # Bounds metadata at O(N x files) for a long-lived tail; final state and
+    # resume are unaffected (offsets live in the current manifest). Size N
+    # to cover downstream changelog/IVM consumers' refresh cadence.
+    retain_snapshots: int = 0
     extra: dict = field(default_factory=dict)
 
 
@@ -332,6 +338,17 @@ class CdcEngine:
                     and self.last_batch_id() % self.cfg.compact_every_batches == 0
                 ):
                     self.compact()
+            # retention GC: a production tail commits one manifest per batch
+            # and each manifest lists every live file, so metadata grows
+            # O(batches x files) unless bounded. Post-loop (not per-batch) so
+            # a replay's intermediate snapshots stay time-travelable while it
+            # runs; state is unaffected (expiration never touches the live
+            # snapshot — test_retention_bounds_metadata). Downstream
+            # changelog/IVM consumers must be given a keep_last covering
+            # their refresh cadence, or they pay one recompute (ivm.py
+            # fallback).
+            if applied and self.cfg.retain_snapshots:
+                self.pages.expire_snapshots(keep_last=self.cfg.retain_snapshots)
         finally:
             self.flush_mirrors()
             # cadence registry: one observational row per run (driver-side

@@ -36,7 +36,7 @@ groups' buckets. Groups whose count returns to 0 stay as dead rows until
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
@@ -152,41 +152,55 @@ class IncrementalAggregate:
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
+        # persist: the signed-contribution aggregate (the expensive diff
+        # join) is read twice — bucket discovery, then the merge write.
+        # It is O(changed groups), the smallest frame in the pipeline.
         delta = (
             cl.withColumn("_sign", sign)
             .groupBy(*self.group_cols)
             .agg(*self._measures(F.col("_sign")))
             .withColumn("_gk", _gk_expr(self.group_cols))
-        )
-        # prune the old-totals read to the changed groups' buckets; the
-        # collect is ≤ num_buckets small ints, never data rows
-        bexpr = F.pmod(F.xxhash64(F.col("_gk")), F.lit(self.table.manifest.num_buckets))
-        buckets = [
-            r["b"] for r in delta.select(bexpr.cast("int").alias("b")).distinct().collect()
-        ]
-        if not buckets:
-            self.table = self.table.set_properties({_SRC_VER_PROP: str(cur)})
-            return {"mode": "delta", "from": last, "to": cur, "groups_changed": 0}
-        old = self.table.read(self.spark, buckets=buckets).select(
-            "_gk", F.col("n").alias("_old_n"),
-            *[F.col(f"sum_{c}").alias(f"_old_sum_{c}") for c in self.sum_cols],
-        )
-        merged = delta.join(old, on="_gk", how="left").select(
-            "_gk",
-            *self.group_cols,
-            (F.coalesce(F.col("_old_n"), F.lit(0)) + F.col("n")).alias("n"),
-            *[
-                (
-                    F.coalesce(F.col(f"_old_sum_{c}"), F.lit(0.0)) + F.col(f"sum_{c}")
-                ).alias(f"sum_{c}")
-                for c in self.sum_cols
-            ],
-            F.lit(cur).cast("bigint").alias("_src_ver"),
-        )
-        n_changed = merged.count()
-        self.table = self.table.append_deltas(
-            merged, properties_update={_SRC_VER_PROP: str(cur)}
-        )
+        ).persist()
+        try:
+            # prune the old-totals read to the changed groups' buckets; the
+            # collect is ≤ num_buckets small ints, never data rows
+            bexpr = F.pmod(
+                F.xxhash64(F.col("_gk")), F.lit(self.table.manifest.num_buckets)
+            )
+            buckets = [
+                r["b"]
+                for r in delta.select(bexpr.cast("int").alias("b")).distinct().collect()
+            ]
+            if not buckets:
+                self.table = self.table.set_properties({_SRC_VER_PROP: str(cur)})
+                return {"mode": "delta", "from": last, "to": cur, "groups_changed": 0}
+            old = self.table.read(self.spark, buckets=buckets).select(
+                "_gk", F.col("n").alias("_old_n"),
+                *[F.col(f"sum_{c}").alias(f"_old_sum_{c}") for c in self.sum_cols],
+            )
+            merged = delta.join(old, on="_gk", how="left").select(
+                "_gk",
+                *self.group_cols,
+                (F.coalesce(F.col("_old_n"), F.lit(0)) + F.col("n")).alias("n"),
+                *[
+                    (
+                        F.coalesce(F.col(f"_old_sum_{c}"), F.lit(0.0))
+                        + F.col(f"sum_{c}")
+                    ).alias(f"sum_{c}")
+                    for c in self.sum_cols
+                ],
+                F.lit(cur).cast("bigint").alias("_src_ver"),
+            )
+            # changed-group count rides the commit's own job (observe), not
+            # an extra pass
+            obs = Observation()
+            merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+            self.table = self.table.append_deltas(
+                merged, properties_update={_SRC_VER_PROP: str(cur)}
+            )
+            n_changed = int(obs.get["rows"])
+        finally:
+            delta.unpersist()
         return {"mode": "delta", "from": last, "to": cur, "groups_changed": n_changed}
 
     def compact(self) -> None:

@@ -192,6 +192,34 @@ def test_changelog_plain_table(spark, tmp_lake):
     assert len(rows) == 1 and rows[0]["value"] == 99 and rows[0]["_change_type"] == "update"
 
 
+def test_retention_bounds_metadata(spark, tmp_path):
+    """retain_snapshots: an interrupted-and-resumed replay with retention GC
+    reaches the same final state as an unretained one, with snapshot count
+    bounded — the long-lived-tail metadata-growth guard."""
+    ledger = generate_ledger(
+        str(tmp_path / "changes"),
+        LedgerSpec(n_urls=60, n_events=400, n_parts=2, seed=31, evolve_at_seq=None),
+    )
+
+    def cfg(sub, **kw):
+        return EngineConfig(
+            ledger_path=ledger.path, pages_path=str(tmp_path / sub),
+            batch_size=100, num_buckets=4, salt_k=4, **kw,
+        )
+
+    ref = CdcEngine(spark, cfg("ref"))
+    ref.run()
+    h_ref = state_hash(ref.read_pages())
+
+    eng = CdcEngine(spark, cfg("ret", retain_snapshots=3))
+    eng.run(max_batches=2)  # retention fires here too
+    eng2 = CdcEngine(spark, cfg("ret", retain_snapshots=3))  # cold resume
+    eng2.run()
+    assert state_hash(eng2.read_pages()) == h_ref
+    assert len(eng2.pages.snapshots()) <= 3
+    assert eng2.run() == 0  # exhausted ledger still a no-op after GC
+
+
 def _live_pdf(eng, version) -> pd.DataFrame:
     df = eng.pages.at_version(version).read(eng.spark)
     df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_seq", "_deleted")
