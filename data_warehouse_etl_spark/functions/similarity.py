@@ -545,8 +545,14 @@ def srp_index_upsert(
         "FROM srp_upsert_rows_v"
     ).localCheckpoint()  # tiny (one upsert batch); evaluated by 3 actions
     ids = new.select("vec_id")
+    # tombstone rows (NULL embedding — srp_index_sync_changelog's deletes)
+    # bucket to NULL: they join the drop set but never the union
     new_buckets = {
-        int(r["srp_bucket"]) for r in new.select("srp_bucket").distinct().collect()
+        int(r["srp_bucket"])
+        for r in new.select("srp_bucket")
+        .where("srp_bucket IS NOT NULL")
+        .distinct()
+        .collect()
     }
     old_buckets = {
         int(r["srp_bucket"])
@@ -580,7 +586,9 @@ def _apply_srp_upsert(
         spark.read.parquet(buckets_path)
         .filter(F.col("srp_bucket").isin(affected))
         .join(F.broadcast(ids), "vec_id", "left_anti")
-        .unionByName(new)
+        # tombstones (NULL embedding) delete: their id is dropped above and
+        # no replacement row is written
+        .unionByName(new.filter(F.col("embedding").isNotNull()))
         .localCheckpoint()
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -601,6 +609,45 @@ def _apply_srp_upsert(
         if b not in present:
             shutil.rmtree(os.path.join(buckets_path, f"srp_bucket={b}"), ignore_errors=True)
             shutil.rmtree(os.path.join(assign_path, f"srp_bucket={b}"), ignore_errors=True)
+
+
+def srp_index_sync_changelog(
+    spark: SparkSession, index_dir: str, changelog_df: DataFrame
+) -> list[int]:
+    """Maintain the SRP layout from a lake changelog (round 5): the CDC-out
+    consumer closing the loop between ``LakeTable.read_changes`` and the
+    incremental index — inserts/updates upsert their new embedding, DELETES
+    remove the vector from its bucket partition, all in one pruned rewrite.
+
+    ``changelog_df`` is a changelog of an embeddings table carrying the
+    layout's columns (``vec_id``, ``label``, ``embedding``) plus
+    ``_change_type`` — either image convention works (``update`` rows, or
+    ``update_preimage``/``update_postimage`` pairs; preimages are ignored).
+
+    Deletes ride the existing upsert machinery as TOMBSTONE rows: a NULL
+    embedding buckets to NULL, so the id joins the drop set (removed from
+    its old partition, found via the assign/ sidecar) while contributing no
+    replacement row and no new bucket. That keeps the crash-safety story
+    unchanged — the redo log persists tombstones like any other row, so a
+    torn sync heals identically. Cost: O(changed buckets), never O(corpus).
+
+    Scale shape at 10^10: the engine applies a batch, the changelog interval
+    is read pruned to changed buckets, and the ANN index follows the table
+    without a rebuild — the reference's analog is a full staging-table
+    rebuild per refresh (``STG_REST_P_ANALYSIS.sql:6-40``).
+    """
+    ups = changelog_df.filter(
+        F.col("_change_type").isin("insert", "update", "update_postimage")
+    ).select("vec_id", "label", "embedding")
+    dels = (
+        changelog_df.filter(F.col("_change_type") == "delete")
+        .select(
+            "vec_id",
+            F.lit(None).cast(changelog_df.schema["label"].dataType).alias("label"),
+            F.lit(None).cast(changelog_df.schema["embedding"].dataType).alias("embedding"),
+        )
+    )
+    return srp_index_upsert(spark, index_dir, ups.unionByName(dels))
 
 
 def srp_query_bucket(spark, sf_dir: str) -> int:

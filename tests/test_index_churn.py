@@ -142,3 +142,89 @@ def test_churned_index_equals_rebuild_every_batch(spark, tmp_path, kind):
     # after the churn the live index holds every corpus row exactly once
     ids = [v for v, _, _, _ in _layout_state(spark, os.path.join(idx, layout), part_col)]
     assert ids == sorted(corpus)
+
+
+def test_srp_index_follows_lake_changelog(spark, tmp_path):
+    """The full CDC->index loop (round 5): an embeddings MoR LakeTable takes
+    insert/update/DELETE commits; after each commit the SRP layout is synced
+    from ``LakeTable.read_changes`` via ``srp_index_sync_changelog`` and must
+    equal a from-scratch rebuild of the table's live view — deletes leave
+    their bucket partition (tombstone rows in the upsert drop set). Both
+    changelog image conventions are exercised (post-only and pre/post
+    pairs; preimages must be ignored)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_etl_spark.functions.similarity import (
+        srp_index_sync_changelog,
+    )
+    from data_warehouse_etl_spark.lake import LakeTable
+
+    corpus = _corpus(spark)
+    lschema = "vec_id bigint, label int, embedding array<float>, _deleted boolean, _v bigint"
+    t = LakeTable.create(
+        str(tmp_path / "emb"),
+        schema=[
+            ("vec_id", "bigint"), ("label", "int"),
+            ("embedding", "array<float>"), ("_deleted", "boolean"), ("_v", "bigint"),
+        ],
+        bucket_col="vec_id", num_buckets=8,
+        row_key="vec_id", version_cols=["_v"],
+    )
+    t = t.append(
+        spark.createDataFrame(
+            [(v, lbl, emb, False, 0) for v, (lbl, emb) in sorted(corpus.items())],
+            lschema,
+        )
+    )
+
+    def live(df):
+        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+
+    fake_sf = str(tmp_path / "sf")
+    os.makedirs(fake_sf, exist_ok=True)
+    _write_corpus(corpus, os.path.join(fake_sf, "embeddings.parquet"))
+    idx = build_srp_index(spark, fake_sf, index_dir=str(tmp_path / "live"))
+    rebuild_dir = str(tmp_path / "rebuild")
+
+    rng = random.Random(20250818)
+    dim = len(next(iter(corpus.values()))[1])
+    next_id = max(corpus) + 1
+    for i in range(6):
+        v_from = t.manifest.version
+        ver = i + 1
+        batch = []
+        for vid in rng.sample(sorted(corpus), k=3):  # movers (bucket flip)
+            lbl, emb = corpus[vid]
+            emb2 = [-x for x in emb]
+            corpus[vid] = (lbl, emb2)
+            batch.append((vid, lbl, emb2, False, ver))
+        emb = [round(rng.uniform(-1, 1), 4) for _ in range(dim)]  # insert
+        corpus[next_id] = (rng.randint(0, 24), emb)
+        batch.append((next_id, corpus[next_id][0], emb, False, ver))
+        next_id += 1
+        for vid in rng.sample(sorted(set(corpus) - {r[0] for r in batch}), k=2):
+            del corpus[vid]  # deletes (tombstone delta rows)
+            batch.append((vid, None, None, True, ver))
+        t = t.append_deltas(spark.createDataFrame(batch, lschema))
+
+        cl = t.read_changes(
+            spark, v_from,
+            exclude=["_v", "_deleted"], row_filter=live,
+            update_images="both" if i % 2 else "post",
+        )
+        srp_index_sync_changelog(spark, idx, cl)
+
+        _write_corpus(corpus, os.path.join(fake_sf, "embeddings.parquet"))
+        build_srp_index(spark, fake_sf, index_dir=rebuild_dir, force=True)
+        got = _layout_state(spark, os.path.join(idx, "buckets"), "srp_bucket")
+        want = _layout_state(spark, os.path.join(rebuild_dir, "buckets"), "srp_bucket")
+        assert got == want, f"interval {i}: layout diverged from rebuild"
+        a_got = sorted(
+            (int(r["vec_id"]), int(r["srp_bucket"]))
+            for r in spark.read.parquet(os.path.join(idx, "assign")).collect()
+        )
+        assert a_got == sorted((v, b) for v, _, _, b in got), (
+            f"interval {i}: assign sidecar diverged"
+        )
+        # deleted ids are gone from the layout
+        assert {v for v, _, _, _ in got} == set(corpus)

@@ -55,11 +55,13 @@ def main() -> None:
             evolve_at_seq=n_events // 2,  # final schema: language, fetch_status
         ),
     )
-    pages_path = os.path.join(out_dir, "pages")
-    if os.path.exists(pages_path):
-        import shutil
+    # fresh run state (the ledger stays — it is the deterministic cache);
+    # stale pages/agg tables would turn the measured refreshes into no-ops
+    import shutil
 
-        shutil.rmtree(pages_path)
+    pages_path = os.path.join(out_dir, "pages")
+    for sub in ("pages", "agg", "agg_fresh"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     eng = CdcEngine(
         spark,
         EngineConfig(
