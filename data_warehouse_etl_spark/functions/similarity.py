@@ -262,7 +262,10 @@ def _apply_ivf_upsert(
         .select("vec_id", "embedding", F.col("label").cast("int").alias("label"))
         .filter(F.col("label").isin(affected))
         .join(F.broadcast(ids), "vec_id", "left_anti")
-        .unionByName(new)
+        # tombstones (NULL embedding — ivf_index_sync_changelog's deletes,
+        # carrying their old-image label so the cell lands in `affected`)
+        # delete: the id is dropped above, no replacement row is written
+        .unionByName(new.filter(F.col("embedding").isNotNull()))
         .localCheckpoint()  # materialize BEFORE overwriting the files it read
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -328,7 +331,10 @@ def ivf_index_upsert(
         "vec_id", F.col("label").cast("int").alias("label"), "embedding"
     ).localCheckpoint()
     ids = new.select("vec_id")
-    new_cells = {int(r["label"]) for r in new.select("label").distinct().collect()}
+    new_cells = {
+        int(r["label"])
+        for r in new.select("label").where("label IS NOT NULL").distinct().collect()
+    }
     old_cells = {
         int(r["label"])
         for r in spark.read.parquet(assign_path)
@@ -609,6 +615,29 @@ def _apply_srp_upsert(
         if b not in present:
             shutil.rmtree(os.path.join(buckets_path, f"srp_bucket={b}"), ignore_errors=True)
             shutil.rmtree(os.path.join(assign_path, f"srp_bucket={b}"), ignore_errors=True)
+
+
+def ivf_index_sync_changelog(
+    spark: SparkSession, index_dir: str, changelog_df: DataFrame
+) -> list[int]:
+    """IVF twin of :func:`srp_index_sync_changelog`: maintain the
+    partitioned-by-cell layout (including the assign sidecar and the
+    affected cells' centroid rows) from a lake changelog interval.
+
+    Deletes become tombstone rows KEEPING their old-image ``label`` — the
+    cell id is the label, so the tombstone itself names the partition to
+    rewrite — with a NULL embedding so the row joins the drop set but never
+    the union or the centroid AVG. Preimage rows of the "both" image
+    convention are ignored. Cost: O(affected cells), never O(corpus)."""
+    ups = changelog_df.filter(
+        F.col("_change_type").isin("insert", "update", "update_postimage")
+    ).select("vec_id", "label", "embedding")
+    dels = changelog_df.filter(F.col("_change_type") == "delete").select(
+        "vec_id",
+        "label",  # old image: the cell the vector must leave
+        F.lit(None).cast(changelog_df.schema["embedding"].dataType).alias("embedding"),
+    )
+    return ivf_index_upsert(spark, index_dir, ups.unionByName(dels))
 
 
 def srp_index_sync_changelog(

@@ -144,20 +144,27 @@ def test_churned_index_equals_rebuild_every_batch(spark, tmp_path, kind):
     assert ids == sorted(corpus)
 
 
-def test_srp_index_follows_lake_changelog(spark, tmp_path):
+@pytest.mark.parametrize("kind", ["srp", "ivf"])
+def test_index_follows_lake_changelog(spark, tmp_path, kind):
     """The full CDC->index loop (round 5): an embeddings MoR LakeTable takes
-    insert/update/DELETE commits; after each commit the SRP layout is synced
-    from ``LakeTable.read_changes`` via ``srp_index_sync_changelog`` and must
-    equal a from-scratch rebuild of the table's live view — deletes leave
-    their bucket partition (tombstone rows in the upsert drop set). Both
-    changelog image conventions are exercised (post-only and pre/post
-    pairs; preimages must be ignored)."""
+    insert/update/DELETE commits; after each commit the materialized layout
+    is synced from ``LakeTable.read_changes`` via
+    ``{srp,ivf}_index_sync_changelog`` and must equal a from-scratch rebuild
+    of the table's live view — deletes leave their partition (tombstone rows
+    in the upsert drop set). Both changelog image conventions are exercised
+    (post-only and pre/post pairs; preimages must be ignored)."""
     from pyspark.sql import functions as F
 
     from data_warehouse_etl_spark.functions.similarity import (
+        ivf_index_sync_changelog,
         srp_index_sync_changelog,
     )
     from data_warehouse_etl_spark.lake import LakeTable
+
+    build, sync, layout, part_col = {
+        "srp": (build_srp_index, srp_index_sync_changelog, "buckets", "srp_bucket"),
+        "ivf": (build_ivf_index, ivf_index_sync_changelog, "cells", "label"),
+    }[kind]
 
     corpus = _corpus(spark)
     lschema = "vec_id bigint, label int, embedding array<float>, _deleted boolean, _v bigint"
@@ -183,7 +190,7 @@ def test_srp_index_follows_lake_changelog(spark, tmp_path):
     fake_sf = str(tmp_path / "sf")
     os.makedirs(fake_sf, exist_ok=True)
     _write_corpus(corpus, os.path.join(fake_sf, "embeddings.parquet"))
-    idx = build_srp_index(spark, fake_sf, index_dir=str(tmp_path / "live"))
+    idx = build(spark, fake_sf, index_dir=str(tmp_path / "live"))
     rebuild_dir = str(tmp_path / "rebuild")
 
     rng = random.Random(20250818)
@@ -212,15 +219,15 @@ def test_srp_index_follows_lake_changelog(spark, tmp_path):
             exclude=["_v", "_deleted"], row_filter=live,
             update_images="both" if i % 2 else "post",
         )
-        srp_index_sync_changelog(spark, idx, cl)
+        sync(spark, idx, cl)
 
         _write_corpus(corpus, os.path.join(fake_sf, "embeddings.parquet"))
-        build_srp_index(spark, fake_sf, index_dir=rebuild_dir, force=True)
-        got = _layout_state(spark, os.path.join(idx, "buckets"), "srp_bucket")
-        want = _layout_state(spark, os.path.join(rebuild_dir, "buckets"), "srp_bucket")
+        build(spark, fake_sf, index_dir=rebuild_dir, force=True)
+        got = _layout_state(spark, os.path.join(idx, layout), part_col)
+        want = _layout_state(spark, os.path.join(rebuild_dir, layout), part_col)
         assert got == want, f"interval {i}: layout diverged from rebuild"
         a_got = sorted(
-            (int(r["vec_id"]), int(r["srp_bucket"]))
+            (int(r["vec_id"]), int(r[part_col]))
             for r in spark.read.parquet(os.path.join(idx, "assign")).collect()
         )
         assert a_got == sorted((v, b) for v, _, _, b in got), (
@@ -228,3 +235,15 @@ def test_srp_index_follows_lake_changelog(spark, tmp_path):
         )
         # deleted ids are gone from the layout
         assert {v for v, _, _, _ in got} == set(corpus)
+        if kind == "ivf":
+            c_got = sorted(
+                (int(r["label"]), tuple(r["cv"]))
+                for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+            )
+            c_want = sorted(
+                (int(r["label"]), tuple(r["cv"]))
+                for r in spark.read.parquet(
+                    os.path.join(rebuild_dir, "centroids")
+                ).collect()
+            )
+            assert c_got == c_want, f"interval {i}: centroids diverged"
