@@ -144,6 +144,19 @@ def main() -> int:
     ok &= audit("mor resolve = agg not window", t.read(spark),
                 want=["partial_max_by"], forbid=["Window"])
 
+    # Changelog read (round 5): the snapshot diff is ONE key-equi full-outer
+    # join over the changed buckets — never a nested-loop/cartesian pairing,
+    # and both sides LWW-resolve via combining aggregation, not Window.
+    delta2 = spark.createDataFrame(
+        [("a", None, 2, 2, False)],
+        "url string, warc_ts timestamp, v bigint, _seq bigint, _deleted boolean")
+    v_from = t.manifest.version
+    t.append_deltas(delta2)
+    ok &= audit("changelog = equi full-outer diff",
+                t.read_changes(spark, v_from, exclude=["_seq", "_deleted"]),
+                want=["FullOuter"],
+                forbid=["CartesianProduct", "BroadcastNestedLoopJoin", "Window"])
+
     print("\nPLAN AUDIT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
