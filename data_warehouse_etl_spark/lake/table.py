@@ -867,6 +867,17 @@ class LakeTable:
         to_tbl = self if to_v == m.version else LakeTable.load(self.path, to_v)
         from_tbl = LakeTable.load(self.path, from_version)
         buckets = self._changed_buckets(from_tbl.manifest, to_tbl.manifest)
+        # state-preserving interval: if every commit in (from, to] is a
+        # compaction / properties write, the diff is empty BY CONSTRUCTION
+        # (compact's contract: resolved row set unchanged) — skip the
+        # bucket reads a compaction would otherwise force us to re-diff
+        ops = {
+            h.get("operation", "?")
+            for h in to_tbl.manifest.history
+            if from_version < h["version"] <= to_v
+        }
+        if ops and all(o == "compact" or o == "set_properties" for o in ops):
+            buckets = []
         if buckets == []:  # pure-metadata interval (schema/properties only)
             out_fields = [
                 f for f in to_tbl.manifest.current_fields

@@ -179,6 +179,16 @@ def test_changelog_plain_table(spark, tmp_lake):
     # same-version interval is empty; classification column rides the schema
     assert t.read_changes(spark, t.manifest.version).count() == 0
 
+    # a compaction-only interval short-circuits via the history check; a
+    # MIXED compact+update interval must still diff normally
+    v_mix = t.manifest.version
+    t = t.compact(spark)
+    assert t.manifest.history[-1]["operation"] == "compact"
+    assert t.read_changes(spark, v_mix).count() == 0  # compact alone: empty
+    t = t.append_deltas(spark.createDataFrame([("d", 44, 8)], t.schema()))
+    mixed = t.read_changes(spark, v_mix).collect()
+    assert [(r["k"], r["_change_type"], r["val"]) for r in mixed] == [("d", "update", 44)]
+
     # changelog across a pure-rename interval is empty (field-id alignment):
     # the rename is not a row change
     v_pre = t.manifest.version
