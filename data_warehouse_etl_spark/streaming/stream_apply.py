@@ -226,6 +226,15 @@ class StreamingCdcApply:
         applied = self.engine.apply_events(events, stream_batch_id=batch_id)
         if applied:
             self._save_sidecar(still_deferred + new_orphans, settled)
+            # retention GC on the tail (the path that actually runs forever):
+            # a stream committing one snapshot per micro-batch grows metadata
+            # O(batches x files) unless bounded. Same contract as the batch
+            # loop — state and resume unaffected, keep_last sized to cover
+            # downstream changelog/IVM consumers' refresh cadence.
+            if self.cfg.retain_snapshots:
+                self.engine.pages.expire_snapshots(
+                    keep_last=self.cfg.retain_snapshots
+                )
         else:
             # foreachBatch retry of an already-committed micro-batch:
             # `ready` was NOT re-applied this time, so it must STAY deferred

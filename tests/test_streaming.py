@@ -398,3 +398,41 @@ def test_sessionize_stream_equals_batch_sessionization(spark, tmp_path):
     two = run_streaming([rows_t[:mid], rows_t[mid:] + sentinel], "two")
     assert one == want
     assert two == want
+
+
+def test_stream_tail_with_retention_and_ivm(spark, tmp_path):
+    """Full production-tail integration (round 5): the streaming apply with
+    snapshot retention GC reaches the batch replay's exact state with the
+    snapshot count bounded, and a changelog-fed rollup refreshed afterwards
+    equals a from-scratch recompute (the retention-expired interval start
+    exercises ivm.py's recompute fallback on a real stream)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_etl_spark.cdc.ivm import IncrementalAggregate
+    from data_warehouse_etl_spark.lake import LakeTable
+
+    led = generate_ledger(str(tmp_path / "changes"), SPEC)
+    batch = CdcEngine(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_batch"),
+                     batch_size=400, num_buckets=4),
+    )
+    batch.run()
+    h_batch = state_hash(batch.read_pages())
+
+    streaming = StreamingCdcApply(
+        spark,
+        EngineConfig(ledger_path=led.path, pages_path=str(tmp_path / "pages_stream"),
+                     batch_size=400, num_buckets=4, retain_snapshots=3),
+    )
+    streaming.run_to_completion(timeout_s=300)
+    eng = streaming.engine
+    assert state_hash(eng.refresh_pages()) == h_batch
+    assert len(eng.pages.snapshots()) <= 3
+
+    agg = IncrementalAggregate(
+        eng, str(tmp_path / "agg"), group_cols=["lang"], num_buckets=4
+    )
+    agg.refresh()
+    expected = eng.read_pages().groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    assert state_hash(agg.read()) == state_hash(expected)
