@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -394,6 +395,7 @@ class LakeTable:
         schema_version: int | None = None,
         next_field_id: int | None = None,
         bucket_col_override: str | None = None,
+        properties_drop: list[str] | None = None,
     ) -> "LakeTable":
         m = self.manifest
         # Optimistic lock: O_CREAT|O_EXCL lock file serializes committers so
@@ -417,8 +419,22 @@ class LakeTable:
                 bucket_col=m.bucket_col if bucket_col_override is None else bucket_col_override,
                 num_buckets=m.num_buckets,
                 files=new_files,
-                properties={**m.properties, **(properties_update or {})},
-                history=m.history + [{"version": m.version + 1, "operation": operation}],
+                properties={
+                    k: v
+                    for k, v in {**m.properties, **(properties_update or {})}.items()
+                    if not (properties_drop and k in properties_drop)
+                },
+                history=m.history
+                + [
+                    {
+                        "version": m.version + 1,
+                        "operation": operation,
+                        # wall-clock commit time: operational metadata only
+                        # (TIMESTAMP AS OF); never part of row state, so
+                        # byte-identity across replays is unaffected
+                        "ts": time.time(),
+                    }
+                ],
                 row_key=m.row_key,
                 version_cols=m.version_cols,
             )
@@ -710,6 +726,57 @@ class LakeTable:
         """Time-travel handle: read this table as of snapshot ``version``."""
         return LakeTable.load(self.path, version)
 
+    _TAG_PREFIX = "ref.tag."
+
+    def tag(self, name: str, version: int | None = None) -> "LakeTable":
+        """Name a snapshot (Iceberg tag ref): ``at_tag(name)`` reads it, and
+        :meth:`expire_snapshots` RETAINS tagged versions regardless of
+        ``keep_last`` — the audit/repro anchor (\"the corpus as of the v3
+        training run\"). Tags ride the properties map, so creating one is an
+        atomic metadata commit; retag by calling again, remove with
+        :meth:`untag`."""
+        v = self.manifest.version if version is None else version
+        LakeTable.load(self.path, v)  # must name a retained snapshot
+        return self.set_properties({self._TAG_PREFIX + name: str(v)})
+
+    def untag(self, name: str) -> "LakeTable":
+        key = self._TAG_PREFIX + name
+        if key not in self.manifest.properties:
+            return self
+        return self._commit(
+            self.manifest.files, f"untag:{name}", properties_drop=[key]
+        )
+
+    def tags(self) -> dict[str, int]:
+        p = self._TAG_PREFIX
+        return {
+            k[len(p):]: int(v)
+            for k, v in self.manifest.properties.items()
+            if k.startswith(p)
+        }
+
+    def at_tag(self, name: str) -> "LakeTable":
+        try:
+            v = int(self.manifest.properties[self._TAG_PREFIX + name])
+        except KeyError:
+            raise ValueError(f"no tag {name!r} on {self.manifest.table}") from None
+        return LakeTable.load(self.path, v)
+
+    def at_timestamp(self, ts: float) -> "LakeTable":
+        """TIMESTAMP AS OF: the newest retained snapshot committed at or
+        before ``ts`` (per the wall-clock commit time in ``history``)."""
+        retained = {s["version"] for s in self.snapshots()}
+        eligible = [
+            h["version"]
+            for h in self.manifest.history
+            if h.get("ts") is not None and h["ts"] <= ts and h["version"] in retained
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no retained snapshot of {self.manifest.table} at or before ts={ts}"
+            )
+        return LakeTable.load(self.path, max(eligible))
+
     def rollback(self, version: int) -> "LakeTable":
         """Restore an earlier snapshot's state as a NEW commit (Iceberg
         ``rollback_to_snapshot``): the current pointer advances to a manifest
@@ -735,8 +802,9 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
         """Retention GC (Iceberg ``expire_snapshots``): keep the newest
-        ``keep_last`` snapshots, delete older manifests and every data file
-        referenced ONLY by expired snapshots.
+        ``keep_last`` snapshots plus every :meth:`tag`-pinned one, delete
+        older manifests and every data file referenced ONLY by expired
+        snapshots.
 
         Runs under the commit lock (serialized against committers). Deletion
         order is crash-safe in the direction that matters: expired manifests
@@ -761,6 +829,7 @@ class LakeTable:
             )
             keep = set(versions[-keep_last:])
             keep.add(cur.manifest.version)  # never expire the live snapshot
+            keep |= set(cur.tags().values())  # tagged snapshots are pinned
             expired = [v for v in versions if v not in keep]
 
             def refs(vs) -> set:

@@ -297,3 +297,46 @@ def test_engine_changelog_matches_state_diff_and_composes(spark, tmp_path):
     v_pre = eng.pages.manifest.version
     eng.compact()
     assert eng.changelog(v_pre).count() == 0
+
+
+def test_tags_and_timestamp_as_of(spark, tmp_lake):
+    """Tag refs pin snapshots through retention GC; TIMESTAMP AS OF resolves
+    via the per-commit wall-clock in history."""
+    path = os.path.join(tmp_lake, "t")
+    t = _mk_mor(spark, path, ROWS_V1)
+    v1 = t.manifest.version
+    h1 = state_hash(t.read(spark))
+    t = t.tag("train-v1")                     # tags current (v1)
+    t = t.replace(spark.createDataFrame([("x", 1, 1)], t.schema()))
+    t = t.append_deltas(spark.createDataFrame([("x", 9, 2)], t.schema()))
+    t = t.append_deltas(spark.createDataFrame([("y", 2, 3)], t.schema()))
+
+    assert t.tags() == {"train-v1": v1}
+    assert state_hash(t.at_tag("train-v1").read(spark)) == h1
+
+    # retention keeps the tagged snapshot (and its files) alive
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired_snapshots"] > 0
+    assert state_hash(t.at_tag("train-v1").read(spark)) == h1
+    assert v1 in {s["version"] for s in t.snapshots()}
+
+    # untag, expire again: now it goes
+    t = t.untag("train-v1")
+    assert t.tags() == {}
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="not retained"):
+        t.at_version(v1)
+
+    # TIMESTAMP AS OF: each retained snapshot resolves by its commit ts
+    hist = {h["version"]: h["ts"] for h in t.manifest.history if "ts" in h}
+    vs = sorted(s["version"] for s in t.snapshots())
+    for v in vs:
+        assert t.at_timestamp(hist[v]).manifest.version == v
+    assert t.at_timestamp(hist[vs[-1]] + 1e6).manifest.version == vs[-1]
+    with pytest.raises(ValueError, match="at or before"):
+        t.at_timestamp(hist[vs[0]] - 1e6)
+
+    with pytest.raises(ValueError, match="no tag"):
+        t.at_tag("nope")
+    with pytest.raises(ValueError):
+        t.tag("bad", version=99)  # must name a retained snapshot
