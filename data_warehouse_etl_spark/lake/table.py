@@ -868,6 +868,57 @@ class LakeTable:
             except OSError:
                 pass
 
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600.0) -> dict[str, int]:
+        """GC for files no manifest references (Iceberg
+        ``remove_orphan_files``): a crashed writer's parquet (written before
+        its manifest commit), or leftovers of an interrupted
+        ``expire_snapshots``. The complement of expire — that deletes
+        EXPIRED-referenced files, this deletes NEVER-referenced ones.
+
+        Safety is the ``older_than_s`` grace period (Iceberg's default is
+        also 3 days): a LIVE writer's files exist unreferenced between its
+        parquet write and its manifest commit, so only files older than the
+        grace window are eligible — a commit gap longer than that is a
+        crashed writer, not a slow one. Runs under the commit lock so the
+        reference set cannot advance mid-sweep.
+        """
+        lock = os.path.join(self.path, "metadata", "commit.lock")
+        fd = self._acquire_lock(lock)
+        try:
+            mdir = os.path.join(self.path, "metadata")
+            referenced: set = set()
+            for fn in os.listdir(mdir):
+                if fn.startswith("v") and fn.endswith(".json") and fn[1:-5].isdigit():
+                    with open(os.path.join(mdir, fn)) as fh:
+                        referenced |= {f["path"] for f in json.load(fh)["files"]}
+            cutoff = time.time() - older_than_s
+            removed = scanned = 0
+            data_root = os.path.join(self.path, "data")
+            for root, _dirs, fnames in os.walk(data_root):
+                for fn in fnames:
+                    # only files a manifest could reference — never write-
+                    # protocol artifacts (_SUCCESS, .crc) of committed snaps
+                    if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, fn)
+                    rel = os.path.relpath(p, self.path)
+                    scanned += 1
+                    if rel in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(p) <= cutoff:
+                            os.unlink(p)
+                            removed += 1
+                    except OSError:
+                        continue  # racing writer finalized/moved it
+            return {"files_scanned": scanned, "orphans_removed": removed}
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
     @staticmethod
     def _changed_buckets(from_m: Manifest, to_m: Manifest) -> list[int] | None:
         """Buckets whose FILE set differs between two snapshots — a superset

@@ -340,3 +340,27 @@ def test_tags_and_timestamp_as_of(spark, tmp_lake):
         t.at_tag("nope")
     with pytest.raises(ValueError):
         t.tag("bad", version=99)  # must name a retained snapshot
+
+
+def test_remove_orphan_files(spark, tmp_lake):
+    """Never-referenced files (a crashed writer's) are swept only past the
+    grace period; referenced files are never touched."""
+    path = os.path.join(tmp_lake, "t")
+    t = _mk_mor(spark, path, ROWS_V1)
+    h = state_hash(t.read(spark))
+    # simulate a crashed writer: parquet under data/ with no manifest commit
+    orphan_dir = os.path.join(path, "data", "snap-crashed")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    # inside the grace period: kept
+    res = t.remove_orphan_files(older_than_s=3600)
+    assert res["orphans_removed"] == 0 and os.path.exists(orphan)
+    # past the grace period: swept; referenced files and state untouched
+    res = t.remove_orphan_files(older_than_s=0)
+    assert res["orphans_removed"] == 1 and not os.path.exists(orphan)
+    assert state_hash(t.read(spark)) == h
+    # idempotent
+    assert t.remove_orphan_files(older_than_s=0)["orphans_removed"] == 0
