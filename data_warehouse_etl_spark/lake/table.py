@@ -240,7 +240,8 @@ class LakeTable:
         buckets for pruned reads and copy-on-write commits.
         """
         c = col or self.manifest.bucket_col
-        return F.pmod(F.xxhash64(F.col(c)), F.lit(self.manifest.num_buckets)).cast("int")
+        n = self.manifest.num_buckets
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(n)).cast("int")
 
     def read(
         self,
@@ -396,6 +397,7 @@ class LakeTable:
         next_field_id: int | None = None,
         bucket_col_override: str | None = None,
         properties_drop: list[str] | None = None,
+        num_buckets_override: int | None = None,
     ) -> "LakeTable":
         m = self.manifest
         # Optimistic lock: O_CREAT|O_EXCL lock file serializes committers so
@@ -417,7 +419,7 @@ class LakeTable:
                 schemas={**m.schemas, **(schemas_update or {})},
                 next_field_id=m.next_field_id if next_field_id is None else next_field_id,
                 bucket_col=m.bucket_col if bucket_col_override is None else bucket_col_override,
-                num_buckets=m.num_buckets,
+                num_buckets=m.num_buckets if num_buckets_override is None else num_buckets_override,
                 files=new_files,
                 properties={
                     k: v
@@ -695,6 +697,30 @@ class LakeTable:
             # crash can never publish a manifest whose bucket_col names a
             # column that no longer exists
             bucket_col_override=new if m.bucket_col == old else None,
+        )
+
+    def rebucket(
+        self, spark: SparkSession, num_buckets: int, files_per_bucket: int = 1
+    ) -> "LakeTable":
+        """Partition-spec evolution: rewrite the table under a new
+        ``bucket(N, key)`` width (Iceberg evolves the spec lazily; plain
+        parquet cannot, so this is the rewrite form). A full rewrite by
+        necessity — every row can change buckets — committed atomically
+        like any other snapshot; it also folds MoR deltas (the rewrite
+        reads the resolved live view). Older snapshots keep reading under
+        their own layout, and :meth:`_changed_buckets` refuses to prune a
+        changelog across the width change (full diff, still value-exact).
+        """
+        m = self.manifest
+        if num_buckets == m.num_buckets:
+            return self
+        shadow = LakeTable(self.path, Manifest.from_json(m.to_json()))
+        shadow.manifest.num_buckets = num_buckets  # write-side transform only
+        entries = shadow._write_data(self.read(spark), files_per_bucket)
+        return self._commit(
+            entries,
+            f"rebucket:{m.num_buckets}->{num_buckets}",
+            num_buckets_override=num_buckets,
         )
 
     # ------------------------------------- snapshots / time travel / changelog

@@ -364,3 +364,33 @@ def test_remove_orphan_files(spark, tmp_lake):
     assert state_hash(t.read(spark)) == h
     # idempotent
     assert t.remove_orphan_files(older_than_s=0)["orphans_removed"] == 0
+
+
+def test_rebucket_partition_evolution(spark, tmp_lake):
+    """rebucket rewrites under a new bucket width: state identical, pruned
+    reads work under the new transform, changelog across the width change
+    refuses bucket pruning but stays value-exact (empty for a pure layout
+    change; real changes after it classify normally)."""
+    path = os.path.join(tmp_lake, "t")
+    t = _mk_mor(spark, path, ROWS_V1)
+    t = t.append_deltas(spark.createDataFrame([("a", 10, 2)], t.schema()))
+    h = state_hash(t.read(spark))
+    v_pre = t.manifest.version
+
+    t = t.rebucket(spark, 16)
+    assert t.manifest.num_buckets == 16
+    assert state_hash(t.read(spark)) == h  # layout change only (folds deltas)
+    assert not t.manifest.has_deltas
+    # pruned read under the NEW transform finds each key
+    b_a = spark.createDataFrame([("a",)], "k string").select(
+        t.bucket_expr("k").alias("b")).collect()[0]["b"]
+    assert t.read(spark, buckets=[b_a]).filter(F.col("k") == "a").count() == 1
+    # changelog across the rebucket: no bucket pruning possible, still exact
+    assert LakeTable._changed_buckets(
+        t.at_version(v_pre).manifest, t.manifest) is None
+    assert t.read_changes(spark, v_pre).count() == 0
+    t = t.append_deltas(spark.createDataFrame([("b", 99, 9)], t.schema()))
+    rows = t.read_changes(spark, v_pre).collect()
+    assert [(r["k"], r["_change_type"]) for r in rows] == [("b", "update")]
+    # old snapshot still reads under its own (old) layout
+    assert state_hash(t.at_version(v_pre).read(spark)) == h
