@@ -951,3 +951,197 @@ def dedup_agreement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ----------------- incremental dedup: materialized MinHash band index
+
+# At 10^10 documents nobody re-runs corpus-level dedup per ingest batch:
+# the production shape is a MATERIALIZED band index (the `bandrows` relation
+# of q_dedup_minhash_lsh, laid out by a band-hash bucket) that (a) new
+# batches PROBE — bands for the batch only, pruned scan of the touched
+# bucket partitions, join on (band_no, band_hash) — and (b) the CDC
+# changelog MAINTAINS incrementally. Same physical idiom as the ANN layouts
+# (similarity.py): partitioned parquet + assign sidecar + redo log; the
+# shared crash-safety helpers are imported from there.
+
+_BAND_BUCKETS = 64
+
+
+def _band_bucket_col() -> F.Column:
+    return F.pmod(F.xxhash64("band_no", "band_hash"), F.lit(_BAND_BUCKETS)).cast("int")
+
+
+def _bandrows_df(spark: SparkSession, docs_view: str) -> DataFrame:
+    """(doc_id, band_no, band_hash, bh_bucket) for every doc in the view.
+    Docs with fewer than 3 tokens have no shingles, hence no band rows —
+    they cannot near-dup and are absent from the index by construction."""
+    return spark.sql(_minhash_bandrows_sql(_SHINGLES_SPARK, docs_view)).withColumn(
+        "bh_bucket", _band_bucket_col()
+    )
+
+
+def build_minhash_index(
+    spark: SparkSession, docs_df: DataFrame, index_dir: str, force: bool = False
+) -> str:
+    """Materialize the band index for a document corpus (one-time; later
+    batches probe and upsert it). Layout: ``bands/`` partitioned by
+    bh_bucket with (doc_id, band_no, band_hash); ``assign/`` sidecar maps
+    doc_id -> its bucket set (for upsert/delete old-row discovery without a
+    corpus scan)."""
+    import os
+
+    marker = os.path.join(index_dir, "_built.txt")
+    if os.path.exists(marker) and not force:
+        return index_dir
+    docs_df.createOrReplaceTempView("mh_build_docs_v")
+    rows = _bandrows_df(spark, "mh_build_docs_v")
+    rows.write.mode("overwrite").partitionBy("bh_bucket").parquet(
+        os.path.join(index_dir, "bands")
+    )
+    spark.read.parquet(os.path.join(index_dir, "bands")).select(
+        "doc_id", "bh_bucket"
+    ).distinct().write.mode("overwrite").partitionBy("bh_bucket").parquet(
+        os.path.join(index_dir, "assign")
+    )
+    with open(marker, "w") as fh:
+        fh.write("built")
+    return index_dir
+
+
+def minhash_probe_new(
+    spark: SparkSession, index_dir: str, new_docs_df: DataFrame
+) -> DataFrame:
+    """Incremental dedup probe: near-dup candidates (new_doc_id, dup_of)
+    between a NEW batch and the indexed corpus. Bands are computed for the
+    batch only; the index scan is pruned to the batch's bucket partitions
+    (<= _BAND_BUCKETS, usually far fewer for a small batch); the join key
+    is (band_no, band_hash) — candidate volume is bucket-bounded, never
+    |batch| x |corpus|. Self-matches are excluded so a probe of already-
+    indexed docs reports only their OTHER-doc duplicates."""
+    import os
+
+    new_docs_df.createOrReplaceTempView("mh_probe_docs_v")
+    new_rows = _bandrows_df(spark, "mh_probe_docs_v").localCheckpoint()
+    buckets = [r["b"] for r in new_rows.select(
+        F.col("bh_bucket").alias("b")).distinct().collect()]
+    if not buckets:
+        return spark.createDataFrame([], "new_doc_id long, dup_of long")
+    idx = (
+        spark.read.parquet(os.path.join(index_dir, "bands"))
+        .filter(F.col("bh_bucket").isin(buckets))
+    )
+    return (
+        new_rows.alias("n")
+        .join(
+            idx.alias("i"),
+            (F.col("n.band_no") == F.col("i.band_no"))
+            & (F.col("n.band_hash") == F.col("i.band_hash"))
+            & (F.col("n.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+
+
+def _apply_minhash_upsert(
+    spark: SparkSession, index_dir: str, new: DataFrame, affected: list[int]
+) -> None:
+    """Idempotent apply (same contract as similarity._apply_srp_upsert):
+    rewrite the affected bucket partitions with the batch's doc_ids dropped
+    everywhere and the batch's non-tombstone band rows unioned in."""
+    import os
+    import shutil
+
+    bands_path = os.path.join(index_dir, "bands")
+    assign_path = os.path.join(index_dir, "assign")
+    ids = new.select("doc_id").distinct()
+    merged = (
+        spark.read.parquet(bands_path)
+        .filter(F.col("bh_bucket").isin(affected))
+        .join(F.broadcast(ids), "doc_id", "left_anti")
+        .unionByName(new.filter(F.col("band_hash").isNotNull()))
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bh_bucket").parquet(bands_path)
+        merged.select("doc_id", "bh_bucket").distinct().write.mode(
+            "overwrite"
+        ).partitionBy("bh_bucket").parquet(assign_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    present = {
+        int(r["bh_bucket"]) for r in merged.select("bh_bucket").distinct().collect()
+    }
+    for b in affected:
+        if b not in present:
+            shutil.rmtree(os.path.join(bands_path, f"bh_bucket={b}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(assign_path, f"bh_bucket={b}"), ignore_errors=True)
+
+
+def minhash_index_upsert(
+    spark: SparkSession, index_dir: str, docs_df: DataFrame
+) -> list[int]:
+    """Incremental maintenance: ``docs_df`` is (doc_id, text); a NULL text
+    is a DELETE tombstone (the doc's band rows leave the index). Old rows
+    are found via the assign sidecar (broadcast semi-join of the batch's
+    ids), only affected bucket partitions are rewritten, and the redo log
+    (shared with the ANN indexes) makes a torn upsert heal on the next
+    call. Cost: O(affected buckets), never O(corpus)."""
+    import os
+
+    from .similarity import _clear_redo, _heal_torn_upsert, _write_redo
+
+    assign_path = os.path.join(index_dir, "assign")
+    _heal_torn_upsert(spark, index_dir, _apply_minhash_upsert)
+
+    docs_df.filter(F.col("text").isNotNull()).createOrReplaceTempView(
+        "mh_upsert_docs_v"
+    )
+    live_rows = _bandrows_df(spark, "mh_upsert_docs_v")
+    tomb = docs_df.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("band_no"),
+        F.lit(None).cast("string").alias("band_hash"),
+        F.lit(None).cast("int").alias("bh_bucket"),
+    ).join(live_rows.select("doc_id").distinct(), "doc_id", "left_anti")
+    new = live_rows.unionByName(tomb).localCheckpoint()
+
+    ids = new.select("doc_id").distinct()
+    new_buckets = {
+        int(r["bh_bucket"])
+        for r in new.select("bh_bucket").where("bh_bucket IS NOT NULL")
+        .distinct().collect()
+    }
+    old_buckets = {
+        int(r["bh_bucket"])
+        for r in spark.read.parquet(assign_path)
+        .join(F.broadcast(ids), "doc_id")
+        .select("bh_bucket").distinct().collect()
+    }
+    affected = sorted(new_buckets | old_buckets)
+    if not affected:
+        return []
+    _write_redo(index_dir, new, affected)
+    _apply_minhash_upsert(spark, index_dir, new, affected)
+    _clear_redo(index_dir)
+    return affected
+
+
+def minhash_index_sync_changelog(
+    spark: SparkSession, index_dir: str, changelog_df: DataFrame
+) -> list[int]:
+    """CDC-out consumer: maintain the band index from a documents-table
+    changelog (insert/update upsert their new text; deletes tombstone;
+    update preimages of the "both" convention are ignored)."""
+    ups = changelog_df.filter(
+        F.col("_change_type").isin("insert", "update", "update_postimage")
+    ).select("doc_id", "text")
+    dels = changelog_df.filter(F.col("_change_type") == "delete").select(
+        "doc_id", F.lit(None).cast("string").alias("text")
+    )
+    return minhash_index_upsert(spark, index_dir, ups.unionByName(dels))
