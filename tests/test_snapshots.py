@@ -236,7 +236,11 @@ def _live_pdf(eng, version) -> pd.DataFrame:
     return df.toPandas().sort_values("url").reset_index(drop=True)
 
 
-def test_engine_changelog_matches_state_diff_and_composes(spark, tmp_path):
+@pytest.mark.parametrize("strategy", ["mor", "cow"])
+def test_engine_changelog_matches_state_diff_and_composes(spark, tmp_path, strategy):
+    """Both physical merge strategies — MoR delta commits and CoW bucket
+    overwrites — must produce identical changelog semantics (the diff is
+    over resolved snapshots, not over the commit mechanism)."""
     ledger = generate_ledger(
         str(tmp_path / "changes"),
         LedgerSpec(n_urls=80, n_events=600, n_parts=2, seed=11, evolve_at_seq=None),
@@ -247,6 +251,7 @@ def test_engine_changelog_matches_state_diff_and_composes(spark, tmp_path):
         batch_size=200,
         num_buckets=4,
         salt_k=4,
+        merge_strategy=strategy,
     )
     eng = CdcEngine(spark, cfg)
     versions = [eng.pages.manifest.version]
