@@ -16,7 +16,10 @@ row contributes with a sign — ``insert``/``update_postimage`` add, and
 mode exists precisely so updates retract their old contribution. COUNT is
 ``sum(sign)``; SUM(col) is ``sum(sign * coalesce(col, 0))`` — NULL measures
 are defined as 0 so the incremental path and the recompute path agree on
-groups whose values are all NULL.
+groups whose values are all NULL. MIN/MAX are NOT additive; they use the
+hybrid scheme (incremental fold for inserts, targeted per-group source
+recompute when a retraction hits the stored extreme — see the class
+docstring).
 
 Exactly-once: the aggregate table records the source snapshot version it
 reflects (``source_version`` property) in the SAME atomic commit as the
@@ -60,6 +63,15 @@ class IncrementalAggregate:
     ``group_cols`` — grouping columns of the live view; ``sum_cols`` —
     numeric columns aggregated as SUM (NULL counted as 0). The COUNT measure
     (``n``) is always present.
+
+    ``min_cols``/``max_cols`` — non-distributive extremes, maintained by the
+    textbook HYBRID: inserts fold in as least/greatest(stored, inserted);
+    a retraction (delete / update preimage) that equals the stored extreme
+    invalidates the incremental form for that group, and exactly those
+    groups' extremes are recomputed from the live source (broadcast
+    semi-join on the group key). NULL semantics match plain MIN/MAX
+    (ignored; all-NULL group → NULL). ``refresh()`` reports
+    ``groups_recomputed`` so the hybrid's cost is observable.
     """
 
     def __init__(
@@ -68,6 +80,8 @@ class IncrementalAggregate:
         path: str,
         group_cols: list[str],
         sum_cols: list[str] | None = None,
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
         num_buckets: int = 16,
     ):
         self.eng = engine
@@ -75,11 +89,15 @@ class IncrementalAggregate:
         self.path = path
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols or [])
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
         src_fields = {f.name: f.type for f in engine.pages.manifest.current_fields}
         schema = [("_gk", "string")]
         schema += [(c, src_fields.get(c, "string")) for c in self.group_cols]
         schema += [("n", "bigint")]
         schema += [(f"sum_{c}", "double") for c in self.sum_cols]
+        schema += [(f"min_{c}", src_fields.get(c, "double")) for c in self.min_cols]
+        schema += [(f"max_{c}", src_fields.get(c, "double")) for c in self.max_cols]
         schema += [("_src_ver", "bigint")]
         if LakeTable.exists(path):
             self.table = LakeTable.load(path)
@@ -114,11 +132,19 @@ class IncrementalAggregate:
             )
         return aggs
 
+    def _extremes(self, prefix: str = "") -> list[F.Column]:
+        aggs = []
+        for c in self.min_cols:
+            aggs.append(F.min(c).alias(f"{prefix}min_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(c).alias(f"{prefix}max_{c}"))
+        return aggs
+
     def _recompute(self, src_version: int) -> dict:
         live = self.eng.read_pages()
         agg = (
             live.groupBy(*self.group_cols)
-            .agg(*self._measures(F.lit(1)))
+            .agg(*self._measures(F.lit(1)), *self._extremes())
             .withColumn("_gk", _gk_expr(self.group_cols))
             .withColumn("_src_ver", F.lit(src_version).cast("bigint"))
         )
@@ -152,13 +178,25 @@ class IncrementalAggregate:
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
+        # MIN/MAX are not retractable from the aggregate alone: per group we
+        # track the inserted-side and retracted-side extremes separately —
+        # if a retraction hits the STORED extreme the group's extreme is
+        # recomputed from the source (hybrid IVM, below); otherwise the new
+        # extreme is least/greatest(stored, inserted).
+        ext_aggs: list[F.Column] = []
+        for c in self.min_cols:
+            ext_aggs.append(F.min(F.when(sign == 1, F.col(c))).alias(f"_ins_min_{c}"))
+            ext_aggs.append(F.min(F.when(sign == -1, F.col(c))).alias(f"_ret_min_{c}"))
+        for c in self.max_cols:
+            ext_aggs.append(F.max(F.when(sign == 1, F.col(c))).alias(f"_ins_max_{c}"))
+            ext_aggs.append(F.max(F.when(sign == -1, F.col(c))).alias(f"_ret_max_{c}"))
         # persist: the signed-contribution aggregate (the expensive diff
         # join) is read twice — bucket discovery, then the merge write.
         # It is O(changed groups), the smallest frame in the pipeline.
         delta = (
             cl.withColumn("_sign", sign)
             .groupBy(*self.group_cols)
-            .agg(*self._measures(F.col("_sign")))
+            .agg(*self._measures(F.col("_sign")), *ext_aggs)
             .withColumn("_gk", _gk_expr(self.group_cols))
         ).persist()
         try:
@@ -177,7 +215,25 @@ class IncrementalAggregate:
             old = self.table.read(self.spark, buckets=buckets).select(
                 "_gk", F.col("n").alias("_old_n"),
                 *[F.col(f"sum_{c}").alias(f"_old_sum_{c}") for c in self.sum_cols],
+                *[F.col(f"min_{c}").alias(f"_old_min_{c}") for c in self.min_cols],
+                *[F.col(f"max_{c}").alias(f"_old_max_{c}") for c in self.max_cols],
             )
+            # a retraction that EQUALS the stored extreme invalidates the
+            # incremental form for that group (retracted values were live,
+            # so they are always >= old_min / <= old_max — equality is the
+            # only way the extreme itself leaves)
+            needs = F.lit(False)
+            for c in self.min_cols:
+                needs = needs | F.col(f"_ret_min_{c}").eqNullSafe(F.col(f"_old_min_{c}")) & F.col(f"_ret_min_{c}").isNotNull()
+            for c in self.max_cols:
+                needs = needs | F.col(f"_ret_max_{c}").eqNullSafe(F.col(f"_old_max_{c}")) & F.col(f"_ret_max_{c}").isNotNull()
+            inc_ext = [
+                F.least(F.col(f"_old_min_{c}"), F.col(f"_ins_min_{c}")).alias(f"min_{c}")
+                for c in self.min_cols
+            ] + [
+                F.greatest(F.col(f"_old_max_{c}"), F.col(f"_ins_max_{c}")).alias(f"max_{c}")
+                for c in self.max_cols
+            ]
             merged = delta.join(old, on="_gk", how="left").select(
                 "_gk",
                 *self.group_cols,
@@ -189,8 +245,50 @@ class IncrementalAggregate:
                     ).alias(f"sum_{c}")
                     for c in self.sum_cols
                 ],
+                *inc_ext,
+                needs.alias("_recompute"),
                 F.lit(cur).cast("bigint").alias("_src_ver"),
             )
+            n_recomputed = 0
+            merged_p = None
+            if self.min_cols or self.max_cols:
+                merged = merged_p = merged.persist()
+                rec_keys = merged.filter("_recompute").select("_gk")
+                n_recomputed = rec_keys.count()
+                if n_recomputed:
+                    # hybrid step: recompute ONLY the hit groups' extremes
+                    # from the live source (broadcast semi-join on the group
+                    # key; the source read is the price of a retracted
+                    # extreme, paid per hit group, not per refresh)
+                    src = self.eng.read_pages().withColumn(
+                        "_gk", _gk_expr(self.group_cols)
+                    )
+                    fresh = (
+                        src.join(F.broadcast(rec_keys), "_gk")
+                        .groupBy("_gk")
+                        .agg(*self._extremes(prefix="_f_"))
+                    )
+                    pick = [
+                        F.when(F.col("_recompute"), F.col(f"_f_min_{c}"))
+                        .otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
+                        for c in self.min_cols
+                    ] + [
+                        F.when(F.col("_recompute"), F.col(f"_f_max_{c}"))
+                        .otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
+                        for c in self.max_cols
+                    ]
+                    ext_names = {f"min_{c}" for c in self.min_cols} | {
+                        f"max_{c}" for c in self.max_cols
+                    }
+                    keep = [
+                        c for c in merged.columns
+                        if c not in ext_names and c != "_recompute"
+                    ]
+                    merged = merged.join(fresh, "_gk", "left").select(*keep, *pick)
+                else:
+                    merged = merged.drop("_recompute")
+            else:
+                merged = merged.drop("_recompute")
             # changed-group count rides the commit's own job (observe), not
             # an extra pass
             obs = Observation()
@@ -199,9 +297,17 @@ class IncrementalAggregate:
                 merged, properties_update={_SRC_VER_PROP: str(cur)}
             )
             n_changed = int(obs.get["rows"])
+            if merged_p is not None:
+                merged_p.unpersist()
         finally:
             delta.unpersist()
-        return {"mode": "delta", "from": last, "to": cur, "groups_changed": n_changed}
+        return {
+            "mode": "delta",
+            "from": last,
+            "to": cur,
+            "groups_changed": n_changed,
+            "groups_recomputed": n_recomputed,
+        }
 
     def compact(self) -> None:
         """Fold MoR deltas and drop dead (n=0) groups."""

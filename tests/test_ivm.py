@@ -46,6 +46,8 @@ def _expected(eng):
             F.sum(F.coalesce(F.col("fetch_status").cast("double"), F.lit(0.0))).alias(
                 "sum_fetch_status"
             ),
+            F.min("fetch_status").alias("min_fetch_status"),
+            F.max("warc_ts").alias("max_warc_ts"),
         )
     )
 
@@ -54,15 +56,20 @@ def test_ivm_tracks_recompute_per_batch(spark, eng_ledger):
     eng, tmp = eng_ledger
     agg = IncrementalAggregate(
         eng, os.path.join(tmp, "agg"), group_cols=["language"],
-        sum_cols=["fetch_status"], num_buckets=4,
+        sum_cols=["fetch_status"], min_cols=["fetch_status"],
+        max_cols=["warc_ts"], num_buckets=4,
     )
-    modes = []
+    modes, recomputed = [], 0
     while eng.run_one_batch():
         res = agg.refresh()
         modes.append(res["mode"])
+        recomputed += res.get("groups_recomputed", 0)
         assert state_hash(agg.read()) == state_hash(_expected(eng)), res
     # first refresh recomputes, every later one is a changelog delta
     assert modes[0] == "recompute" and set(modes[1:]) == {"delta"}
+    # the hybrid path actually fired: updates retract the group's max
+    # warc_ts whenever the most-recent row changes, which this ledger does
+    assert recomputed > 0
 
     # idempotence: nothing new -> no-op, state untouched
     h = state_hash(agg.read())
