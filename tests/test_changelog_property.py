@@ -1,7 +1,8 @@
 """Property: the changelog IS the state diff, for any trajectory.
 
 Hypothesis drives random commit trajectories (keyed upsert/delete batches
-with LWW versions, interleaved compactions) against a pure-python mirror
+with LWW versions, interleaved compactions and bucket-width rebuckets)
+against a pure-python mirror
 of the table's live state per version; for a random interval the
 changelog must classify exactly the mirror diff — insert/update/delete
 with the right images. This is the law every CDC-out consumer (IVM, index
@@ -26,7 +27,7 @@ def trajectories(draw):
     traj = []
     for i in range(n):
         if i and draw(st.booleans()):
-            traj.append("compact")
+            traj.append(draw(st.sampled_from(["compact", "rebucket"])))
         traj.append(
             draw(
                 st.lists(
@@ -71,6 +72,10 @@ def test_changelog_equals_mirror_diff(spark, tmp_path_factory, traj, data):
     for step in traj:
         if step == "compact":
             t = t.compact(spark)
+        elif step == "rebucket":
+            # layout evolution mid-trajectory: diffs across the width change
+            # cannot bucket-prune but must stay value-exact
+            t = t.rebucket(spark, 8 if t.manifest.num_buckets == 4 else 4)
         else:
             ver += 1
             rows = [(k, v, dele, ver) for k, v, dele in step]
