@@ -1145,3 +1145,68 @@ def minhash_index_sync_changelog(
         "doc_id", F.lit(None).cast("string").alias("text")
     )
     return minhash_index_upsert(spark, index_dir, ups.unionByName(dels))
+
+
+def minhash_index_sync_table(
+    spark: SparkSession,
+    index_dir: str,
+    table,
+    row_filter=None,
+    exclude: list[str] | None = None,
+) -> dict:
+    """Self-anchoring CDC->index sync: the index remembers the source
+    snapshot it reflects (``_synced_version.txt``) and advances itself —
+    the caller never tracks interval endpoints (same contract as
+    ``ivm.IncrementalAggregate.refresh``).
+
+    First sync (or an anchor snapshot expired by retention GC) rebuilds
+    from the live view; every other sync reads the table changelog from the
+    anchor and applies it incrementally. The anchor is written AFTER the
+    apply: a crash in between re-applies the same interval next sync, which
+    is a state no-op — the upsert drops the batch's doc_ids everywhere and
+    unions identical rows back (idempotent), so marker-after-apply gives an
+    exactly-once EFFECT without a transaction spanning index and marker.
+
+    ``table`` is a ``LakeTable`` of documents carrying (doc_id, text);
+    ``row_filter``/``exclude`` are passed to ``read_changes`` (the caller's
+    live-view conventions, e.g. tombstone filtering).
+    """
+    import os
+
+    marker = os.path.join(index_dir, "_synced_version.txt")
+    cur = table.manifest.version
+
+    def _write_marker() -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(cur))
+        os.replace(tmp, marker)
+
+    last = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            last = int(fh.read().strip())
+    if last == cur:
+        return {"mode": "noop", "from": last, "to": cur}
+
+    def _rebuild() -> dict:
+        docs = table.read(spark)
+        if row_filter is not None:
+            docs = row_filter(docs)
+        build_minhash_index(
+            spark, docs.select("doc_id", "text"), index_dir, force=True
+        )
+        _write_marker()
+        return {"mode": "rebuild", "from": last, "to": cur}
+
+    if last is None:
+        return _rebuild()
+    try:
+        cl = table.read_changes(
+            spark, last, exclude=exclude, row_filter=row_filter
+        )
+    except ValueError:
+        return _rebuild()  # anchor snapshot aged out of retention
+    affected = minhash_index_sync_changelog(spark, index_dir, cl)
+    _write_marker()
+    return {"mode": "delta", "from": last, "to": cur, "buckets": len(affected)}

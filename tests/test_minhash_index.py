@@ -119,3 +119,60 @@ def test_minhash_index_follows_changelog(spark, tmp_path):
             "doc_id bigint, text string"),
     )
     assert probe2.count() == 0
+
+
+def test_sync_table_self_anchors_and_is_crash_idempotent(spark, tmp_path):
+    """The self-anchoring sync: first call rebuilds, later calls apply the
+    changelog from the remembered version and re-applying the SAME interval
+    (a crash between apply and marker) is a state no-op; an anchor expired
+    by retention GC falls back to one rebuild and stays correct."""
+    from data_warehouse_etl_spark.functions.textops import minhash_index_sync_table
+
+    src = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").limit(60)
+    )
+    t = LakeTable.create(
+        str(tmp_path / "docs"),
+        schema=[("doc_id", "bigint"), ("text", "string"),
+                ("_deleted", "boolean"), ("ver", "int")],
+        bucket_col="doc_id", num_buckets=4,
+        row_key="doc_id", version_cols=["ver"],
+    )
+    t = t.append(src.withColumn("_deleted", F.lit(False)).withColumn("ver", F.lit(0)))
+
+    def live(df):
+        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    kw = dict(row_filter=live, exclude=["ver", "_deleted"])
+    assert minhash_index_sync_table(spark, idx, t, **kw)["mode"] == "rebuild"
+    assert minhash_index_sync_table(spark, idx, t, **kw)["mode"] == "noop"
+
+    ids = [int(r["doc_id"]) for r in src.select("doc_id").orderBy("doc_id").collect()]
+    v_from = t.manifest.version
+    t = t.append_deltas(spark.createDataFrame(
+        [(ids[0], "some fresh edited text with enough words here", False, 1),
+         (ids[1], None, True, 1)],
+        "doc_id bigint, text string, _deleted boolean, ver int"))
+    res = minhash_index_sync_table(spark, idx, t, **kw)
+    assert res["mode"] == "delta" and res["from"] == v_from
+    state = _band_state(spark, idx)
+    # crash window: re-apply the SAME interval directly — state unchanged
+    from data_warehouse_etl_spark.functions.textops import minhash_index_sync_changelog
+    cl = t.read_changes(spark, v_from, exclude=["ver", "_deleted"], row_filter=live)
+    minhash_index_sync_changelog(spark, idx, cl)
+    assert _band_state(spark, idx) == state
+
+    # expire the anchor snapshot -> next sync rebuilds, still correct
+    t = t.append_deltas(spark.createDataFrame(
+        [(ids[2], None, True, 2)],
+        "doc_id bigint, text string, _deleted boolean, ver int"))
+    t.expire_snapshots(keep_last=1)
+    res = minhash_index_sync_table(spark, idx, t, **kw)
+    assert res["mode"] == "rebuild"
+    want = build_minhash_index(
+        spark, live(t.read(spark)).select("doc_id", "text"),
+        str(tmp_path / "want"), force=True)
+    assert _band_state(spark, idx) == _band_state(spark, want)
