@@ -144,6 +144,22 @@ def main() -> int:
     ok &= audit("mor resolve = agg not window", t.read(spark),
                 want=["partial_max_by"], forbid=["Window"])
 
+    # Incremental-dedup probe (round 5): the band-index scan for a NEW batch
+    # is statically partition-pruned to the batch's bh_bucket partitions
+    from data_warehouse_etl_spark.functions.textops import (
+        build_minhash_index,
+        minhash_probe_new,
+    )
+    mh_docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    mh_idx = build_minhash_index(
+        spark, mh_docs, os.path.join(d, "mh_idx"), force=True
+    )
+    probe_batch = mh_docs.limit(3)
+    ok &= audit("minhash probe partition-pruned",
+                minhash_probe_new(spark, mh_idx, probe_batch),
+                want=["PartitionFilters: [", "bh_bucket"],
+                forbid=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
     # Changelog read (round 5): the snapshot diff is ONE key-equi full-outer
     # join over the changed buckets — never a nested-loop/cartesian pairing,
     # and both sides LWW-resolve via combining aggregation, not Window.
