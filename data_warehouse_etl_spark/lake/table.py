@@ -315,13 +315,30 @@ class LakeTable:
     def _resolve(self, df: DataFrame) -> DataFrame:
         """LWW-resolve base+delta rows: argmax over version_cols per row_key.
 
-        Aggregation (max_by), not a window: map-side partial aggregation
-        collapses each key to one candidate per input partition before the
-        shuffle, so hot keys never serialize through a single sorted task.
-        version_cols end in a globally unique id (_seq), so the argmax is
-        total-ordered → deterministic at any parallelism/batch slicing.
+        Aggregation, not a window: a window would funnel each hot key
+        through one sorted task. For the standard 2-tuple version order
+        ending in a globally unique id (_seq) the winner ids are computed
+        on a 3-column projection with chained HASH aggregates (a
+        struct-buffered ``max_by`` plans SortAggregate and was measured
+        sorting the full payload rows on both sides of its exchange —
+        cdc/dedup.py module docstring), and the full rows are recovered by
+        an equi join on the unique id. The join is hinted SHUFFLE_HASH so
+        the planner cannot re-introduce the payload sort via sort-merge;
+        the build side (one id per live key of the scanned subset) is
+        bounded per partition. The argmax is total-ordered → deterministic
+        at any parallelism/batch slicing.
         """
         m = self.manifest
+        if len(m.version_cols) == 2:
+            from ..cdc.dedup import _winner_ties
+
+            tie = m.version_cols[-1]
+            winners = _winner_ties(
+                df, m.row_key, tuple(m.version_cols), keep_key=True
+            )
+            return df.join(
+                winners.hint("shuffle_hash"), [m.row_key, tie], "left_semi"
+            ).select(*df.columns)
         value_cols = [c for c in df.columns if c != m.row_key]
         return (
             df.groupBy(m.row_key)
@@ -341,13 +358,25 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
 
-    def _write_data(self, df: DataFrame, files_per_bucket: int = 1) -> list[dict[str, Any]]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        files_per_bucket: int = 1,
+        post_shuffle=None,
+    ) -> list[dict[str, Any]]:
         """Write df as parquet split by the table's bucket transform.
 
         Returns manifest file entries. Rows are shuffled once on the bucket
         id (plus an optional intra-bucket split for write parallelism) so
         each bucket lands in few, large files — the layout a pruned merge
         later relies on.
+
+        ``post_shuffle`` is an optional row-preserving column transform
+        (df → df, same schema) applied AFTER the bucket exchange, directly
+        before the file write. Callers use it to keep derived heavyweight
+        columns (e.g. the engine's UDF-extracted text) out of the shuffle:
+        only the source columns cross the exchange and the derivation runs
+        once in the write tasks (guide: shuffle the proxy, not the payload).
         """
         m = self.manifest
         snap_dir = f"data/snap-{uuid.uuid4().hex[:12]}"
@@ -363,10 +392,14 @@ class LakeTable:
                 )
             else:
                 df = df.repartition(m.num_buckets, F.col("_bucket"))
+            if post_shuffle is not None:
+                df = post_shuffle(df)
             df.select("_bucket", *names).write.mode("overwrite").partitionBy("_bucket").parquet(
                 abs_dir
             )
         else:
+            if post_shuffle is not None:
+                df = post_shuffle(df)
             df.select(*names).write.mode("overwrite").parquet(abs_dir)
 
         entries: list[dict[str, Any]] = []
@@ -564,6 +597,7 @@ class LakeTable:
         df: DataFrame,
         properties_update: dict[str, str] | None = None,
         files_per_bucket: int = 1,
+        post_shuffle=None,
     ) -> "LakeTable":
         """Merge-on-read upsert: commit df's rows as per-bucket DELTA files
         without reading or rewriting any carried row.
@@ -587,7 +621,7 @@ class LakeTable:
                 f"table {self.manifest.table} has no row_key/version_cols; "
                 "append_deltas requires merge-on-read semantics declared at create()"
             )
-        entries = self._write_data(df, files_per_bucket)
+        entries = self._write_data(df, files_per_bucket, post_shuffle=post_shuffle)
         for e in entries:
             e["kind"] = "delta"
         return self._commit(

@@ -36,7 +36,9 @@ def main() -> None:
     spark = get_spark(
         app_name=f"profile-replay-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        # match bench.run_replay_worker exactly so the profile prices the
+        # same plan the frozen bench times
+        shuffle_partitions=max(cpus * 4, 4),
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": "4050",
