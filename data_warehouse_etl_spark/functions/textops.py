@@ -50,6 +50,35 @@ def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def _spread_docs_view(spark: SparkSession, sf_dir: str) -> str:
+    """Register (and return the name of) a documents view whose partitioning
+    is wide enough for the explode-heavy shingle pipelines.
+
+    A compact documents file scans as 1-2 tasks (split floor + single row
+    group), so the shingle explode — the fan-out stage that produces ~50x
+    the input rows — runs serially while the rest of the cluster idles.
+    The spread is derived from the INPUT SIZE (guide §2: scale-adaptive,
+    never a constant): small inputs (< ~2 scan splits' worth) are
+    repartitioned to the session's parallelism — a shuffle of the compact
+    input, trivially cheap exactly when it triggers — while at corpus
+    scale the scan is already wide and no shuffle is added. Purely a
+    physical spread: row set unchanged, so every consumer computes
+    identical results (oracle-checked).
+    """
+    import os as _os
+
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
+    try:
+        small = _os.path.getsize(path) < 2 * 16 * 1024 * 1024
+    except OSError:
+        small = False
+    if small:
+        df = df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    df.createOrReplaceTempView("documents_spread_v")
+    return "documents_spread_v"
+
+
 def _staged(spark: SparkSession, sql: str, view: str) -> None:
     """Materialize a staging relation ONCE and register it as a temp view —
     the reference's temp-table idiom (``create temp table stg_*``, reused
@@ -154,12 +183,12 @@ def q_dedup_ngram_jaccard(spark, sf):
     shingle relation is materialized once (reference staging idiom — see
     _staged) instead of recomputing the scan+explode pipeline on every CTE
     reference."""
-    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
+    doc = _spread_docs_view(spark, sf)
     _staged(
         spark,
         "WITH "
-        + _SHINGLES_SPARK.format(doc="documents_v")
-        + _JACCARD_CAP_SPARK.format(doc="documents_v"),
+        + _SHINGLES_SPARK.format(doc=doc)
+        + _JACCARD_CAP_SPARK.format(doc=doc),
         "shf_v",
     )
     return spark.sql(_JACCARD_TAIL_SPARK)
@@ -237,8 +266,8 @@ def q_dedup_minhash_lsh(spark, sf):
     The band rows (4 per doc) are staged once (see _staged); the inlined
     self-join form recomputed the whole shingle+signature pipeline for each
     join side."""
-    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents_v")
-    _staged(spark, _minhash_bandrows_sql(_SHINGLES_SPARK, "documents_v"), "bandrows_v")
+    doc = _spread_docs_view(spark, sf)
+    _staged(spark, _minhash_bandrows_sql(_SHINGLES_SPARK, doc), "bandrows_v")
     return spark.sql(_MINHASH_TAIL_SPARK)
 
 
