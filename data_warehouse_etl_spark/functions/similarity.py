@@ -166,6 +166,11 @@ def build_ivf_index(
     stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src):.0f}"
     if not force and os.path.exists(marker) and open(marker).read() == stamp:
         return index_dir
+    # a rebuild (forced or source-stamp resync) must discard any pending
+    # redo batch from a crashed pre-rebuild upsert: healing it onto the
+    # rebuilt index would replay stale rows (round-5 advisor finding on
+    # the minhash twin; same hazard here)
+    _clear_redo(index_dir)
     emb = spark.read.parquet(src)
     emb.createOrReplaceTempView("ivf_build_src_v")
     cents = spark.sql(
@@ -416,12 +421,18 @@ _SRP_PLANES = _srp_planes()
 
 
 def _srp_bucket_spark(col: str) -> str:
+    # NULL-propagating: a NULL embedding (delete tombstone in the changelog
+    # sync) must bucket to NULL, not 0 — otherwise `srp_bucket IS NOT NULL`
+    # never excludes tombstones and every delete-only sync needlessly reads
+    # and rewrites partition srp_bucket=0 (round-5 advisor finding). Each
+    # plane's CASE alone yields 0 for NULL (NULL >= 0 is falsy), so the
+    # null check must be explicit.
     terms = []
     for j, p in enumerate(_SRP_PLANES):
         arr = "array(" + ", ".join(f"CAST({c} AS DOUBLE)" for c in p) + ")"
         dot = _COS_SPARK.format(a=col, b=arr)
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+    return f"(CASE WHEN {col} IS NULL THEN NULL ELSE (" + " + ".join(terms) + ") END)"
 
 
 def _srp_bucket_duck(col: str) -> str:
@@ -481,6 +492,7 @@ def build_srp_index(
     stamp = f"{os.path.abspath(src)}:{os.path.getmtime(src):.0f}"
     if not force and os.path.exists(marker) and open(marker).read() == stamp:
         return index_dir
+    _clear_redo(index_dir)  # same stale-redo hazard as the IVF build above
     emb = spark.read.parquet(src)
     emb.createOrReplaceTempView("srp_build_src_v")
     bucketed = spark.sql(

@@ -1022,6 +1022,14 @@ def build_minhash_index(
     marker = os.path.join(index_dir, "_built.txt")
     if os.path.exists(marker) and not force:
         return index_dir
+    # a forced rebuild must discard any pending redo batch from a crashed
+    # pre-rebuild sync: healing it onto the REBUILT index would replay
+    # stale band rows and break the advertised exactly-once effect
+    # (round-5 advisor finding)
+    if force:
+        from .similarity import _clear_redo
+
+        _clear_redo(index_dir)
     docs_df.createOrReplaceTempView("mh_build_docs_v")
     rows = _bandrows_df(spark, "mh_build_docs_v")
     rows.write.mode("overwrite").partitionBy("bh_bucket").parquet(

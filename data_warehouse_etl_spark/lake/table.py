@@ -848,6 +848,12 @@ class LakeTable:
         ``add_column`` can never reuse a field id that existed on the
         rolled-past timeline. Do not run concurrently with
         ``expire_snapshots`` (it may be deleting v{version}'s data files).
+
+        ``num_buckets`` (like ``bucket_col``) is restored to the old
+        snapshot's value: the restored file entries carry bucket ids
+        computed under the OLD width, and a manifest mixing them with the
+        new width would silently mis-prune bucket reads and misclassify
+        changelog rows after a rollback across a rebucket boundary.
         """
         m = self.manifest
         old = LakeTable.load(self.path, version).manifest
@@ -857,6 +863,9 @@ class LakeTable:
             schema_version=old.schema_version,
             bucket_col_override=(
                 old.bucket_col if old.bucket_col != m.bucket_col else None
+            ),
+            num_buckets_override=(
+                old.num_buckets if old.num_buckets != m.num_buckets else None
             ),
         )
 
