@@ -73,6 +73,13 @@ WM_PROP = "wm_high"  # committed event-time high-water-mark (monotone watermark)
 
 _TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1"
 
+# Adaptive extract placement (see _transform_and_merge): post-exchange
+# extraction is chosen when each write task gets at least this many rows —
+# ~45ms of vectorized extract work per task, amortizing the per-task
+# python-worker handshake (~5ms) to noise. Below it, a fine-grained bucket
+# layout would pay more in python task startup than the text shuffle saves.
+_POST_SHUFFLE_MIN_ROWS_PER_TASK = 5_000
+
 
 class _Timer:
     """Phase timer, printed only under SPARK_GRAFT_DEBUG_TIMING=1."""
@@ -677,8 +684,17 @@ class CdcEngine:
         # in the write tasks and never exchanged (guide §2.3/§8: move the
         # payload once, derive after the last shuffle; measured ~100MB less
         # shuffle write per 30M-event batch and the scan stage sheds its
-        # python boundary entirely). CoW needs text before its merge join
-        # and keeps the pre-merge placement.
+        # python boundary entirely). The placement is ADAPTIVE (values are
+        # identical either way — only the physical plan differs): the write
+        # stage is exactly num_buckets x files_per_bucket tasks, each paying
+        # a python-worker handshake, so a small batch spread over a
+        # fine-grained layout (e.g. 100k events into 256 buckets) would pay
+        # more in per-task python startup than the text shuffle it saves —
+        # measured +15s on the 4x100k-event 256-bucket cdcout replay. Rows
+        # per write task >= _POST_SHUFFLE_MIN_ROWS_PER_TASK (5k rows ~ 45ms
+        # of extract work, amortizing the ~5ms handshake) picks post;
+        # smaller batches extract before the exchange. CoW needs text
+        # before its merge join and always keeps the pre-merge placement.
         lang_col = "language" if "language" in payload_names else "lang"
         has_lang = lang_col in payload_names
 
@@ -713,8 +729,18 @@ class CdcEngine:
         # never attached to a subtree evaluated by more than one action,
         # which a Spark Observation asserts on.
         if cfg.merge_strategy == "mor":
+            write_tasks = max(cfg.num_buckets * cfg.files_per_bucket, 1)
+            post_shuffle_extract = (
+                est_winners / write_tasks >= _POST_SHUFFLE_MIN_ROWS_PER_TASK
+            )
             mstats, bytes_by_part = self._apply_mor(
-                deduped, enrich, page_fields, properties_update, parts, tm
+                deduped,
+                enrich,
+                page_fields,
+                properties_update,
+                parts,
+                tm,
+                post_shuffle_extract=post_shuffle_extract,
             )
         else:
             enriched = enrich(deduped, F.col("op") != "D")
@@ -764,6 +790,7 @@ class CdcEngine:
         properties_update: dict[str, str],
         parts: list[int],
         tm: _Timer,
+        post_shuffle_extract: bool = True,
     ) -> tuple[dict, dict[int, int]]:
         """Merge-on-read apply: commit the batch's LWW survivors as delta
         files. No old-state read, no bucket discovery, no carried-row
@@ -779,7 +806,9 @@ class CdcEngine:
         the pre-exchange subtree stays pure JVM (scan → broadcast semi-join
         → exchange, no python boundary)."""
         cfg = self.cfg
-        enriched = deduped
+        enriched = (
+            deduped if post_shuffle_extract else enrich(deduped, F.col("op") != "D")
+        )
         obs_out = Observation()
         # one F.expr per aggregate: building these ~3x|parts| conditional
         # sums out of Column operators costs ~15 py4j round trips EACH —
@@ -813,7 +842,7 @@ class CdcEngine:
                 return F.col("seq")
             if name == "_deleted":
                 return F.col("op") == "D"
-            if name == "text":
+            if name == "text" and post_shuffle_extract:
                 # computed post-shuffle (see docstring); placeholder keeps
                 # the delta schema-complete through the exchange
                 return F.lit(None).cast("string")
@@ -824,7 +853,11 @@ class CdcEngine:
             delta,
             properties_update=properties_update,
             files_per_bucket=cfg.files_per_bucket,
-            post_shuffle=lambda df: enrich(df, ~F.col("_deleted")),
+            post_shuffle=(
+                (lambda df: enrich(df, ~F.col("_deleted")))
+                if post_shuffle_extract
+                else None
+            ),
         )
         tm.mark("dedup+extract+delta_commit")
 
