@@ -184,6 +184,13 @@ def q_dedup_ngram_jaccard(spark, sf):
     _staged) instead of recomputing the scan+explode pipeline on every CTE
     reference."""
     doc = _spread_docs_view(spark, sf)
+    # One-shot staging deliberately kept: the cap SQL references the
+    # shingle CTE twice (count side + join side) and Spark inlines a CTE
+    # per reference, so the explode runs twice — but the measured
+    # alternative (materialize ``sh`` first, then cap from it) trades that
+    # for an extra eager staging job and was consistently ~10% SLOWER at
+    # bench scale (interleaved A/B, round 6). At corpus scale the staged
+    # relation is a parquet temp table and the split is free (see _staged).
     _staged(
         spark,
         "WITH "
@@ -213,8 +220,16 @@ def _minhash_fragments() -> tuple[str, str, str]:
 
 def _minhash_bandrows_sql(shingle_cte: str, doc: str) -> str:
     """The signature pipeline through the banded rows (staged by the Spark
-    form; inlined by the oracle form)."""
-    mh, bands, band_rows = _minhash_fragments()
+    form; inlined by the oracle form).
+
+    Spark dialect: the band unpivot uses ``stack`` — ONE pass over ``sig``.
+    The oracle's 4-way ``UNION ALL`` form (``_minhash_sql``) is fine for
+    DuckDB but Spark inlines a CTE per reference, so the union re-computed
+    the whole shingle+signature pipeline once PER BAND (round-6 profile:
+    4x the explode and the 16 md5-min aggregation). Same row multiset.
+    """
+    mh, bands, _ = _minhash_fragments()
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(4))
     return f"""
     WITH {shingle_cte.format(doc=doc)},
     minh AS (
@@ -225,7 +240,9 @@ def _minhash_bandrows_sql(shingle_cte: str, doc: str) -> str:
         SELECT doc_id,
                {bands}
         FROM minh)
-    {band_rows}
+    SELECT doc_id, band_no, band_hash
+    FROM sig
+    LATERAL VIEW stack(4, {stack_args}) AS band_no, band_hash
     """
 
 
