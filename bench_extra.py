@@ -95,11 +95,17 @@ if __name__ == "__main__":
         names = sys.argv[3:] or HEADLINE
         time_queries(reps, names)
     elif mode == "plans":
-        out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "plans", "r06")
-        suffix = os.environ.get("PLAN_SUFFIX", "before")
         import __spark_entry__ as entrymod
 
-        names = sys.argv[3:] or sorted(entrymod.all_queries())
+        args = sys.argv[2:]
+        known = set(entrymod.all_queries())
+        # a query name in the out_dir position means "default dir, this query"
+        if args and args[0] in known:
+            out_dir, names = os.path.join(REPO, "plans", "r06"), args
+        else:
+            out_dir = args[0] if args else os.path.join(REPO, "plans", "r06")
+            names = args[1:] or sorted(known)
+        suffix = os.environ.get("PLAN_SUFFIX", "before")
         dump_plans(out_dir, names, suffix)
     else:
         raise SystemExit(f"unknown mode {mode}")

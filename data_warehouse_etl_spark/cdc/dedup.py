@@ -120,27 +120,52 @@ def _winner_ties(
         return _salted(keys)
     if not hot_keys:
         return _cold(keys)
-    is_hot = F.col(key).isin(list(hot_keys))
+    # NULL-safe split: `~isin` is NULL for a NULL key and would drop those
+    # rows from BOTH branches; a NULL key is an ordinary (cold) group
+    is_hot = F.coalesce(F.col(key).isin(list(hot_keys)), F.lit(False))
     return _cold(keys.filter(~is_hot)).unionByName(_salted(keys.filter(is_hot)))
+
+
+def _join_back(df: DataFrame, winners: DataFrame, key: str, tie: str) -> DataFrame:
+    """Recover the full winning rows by a left-semi join on (key, tie).
+
+    NULL-SAFE on both columns: a NULL key forms its own group in the winner
+    aggregation (groupBy treats NULL as a value), and a plain equi join
+    would silently drop its rows (NULL never equals NULL) — the pre-round-6
+    aggregation form kept them. ``<=>`` conditions plan as hash-join keys,
+    so the SHUFFLE_HASH shape is preserved.
+
+    Precondition (documented on every caller): ``tie`` is unique per key
+    across ``df``'s rows. Rows that duplicate their key's winning
+    (key, tie) pair — only possible when the precondition is violated —
+    all survive the semi join, where the old aggregation form kept an
+    arbitrary one of them (``max_by`` is non-deterministic on order ties);
+    neither behavior is deterministic on such input.
+    """
+    w = winners.hint("shuffle_hash").select(
+        F.col(key).alias("_wk"), F.col(tie).alias("_wt")
+    )
+    cond = df[key].eqNullSafe(w["_wk"]) & df[tie].eqNullSafe(w["_wt"])
+    return df.join(w, cond, "left_semi")
 
 
 def _max_by_all(df: DataFrame, key: str, order: tuple[str, ...]) -> DataFrame:
     """One full row per key: argmax over ``order``.
 
-    For the standard 2-tuple order with a globally unique tiebreaker (the
+    For the standard 2-tuple order with a per-key-unique tiebreaker (the
     engine's LWW law), winners are computed hash-aggregated on a
-    (key, *order) projection and the full rows recovered by an equi join on
-    the unique tie — the payload never enters an aggregation buffer, and no
-    operator sorts. The join is hinted SHUFFLE_HASH: the winner side is a
-    fraction of the input and the build per partition is bounded, while a
-    sort-merge join would re-introduce exactly the payload sort this
-    rewrite removes. Falls back to the struct ``max_by`` form for other
-    order shapes (general but SortAggregate-planned).
+    (key, *order) projection and the full rows recovered by a null-safe
+    equi join on (key, tie) — the payload never enters an aggregation
+    buffer, and no operator sorts. The join is hinted SHUFFLE_HASH: the
+    winner side is a fraction of the input and the build per partition is
+    bounded, while a sort-merge join would re-introduce exactly the payload
+    sort this rewrite removes. Falls back to the struct ``max_by`` form for
+    other order shapes (general but SortAggregate-planned).
     """
     if len(order) == 2:
         tie = order[-1]
         winners = _winner_ties(df, key, order, keep_key=True)
-        return df.join(winners.hint("shuffle_hash"), [key, tie], "left_semi")
+        return _join_back(df, winners, key, tie)
     cols = df.columns
     return (
         df.groupBy(key)
@@ -210,15 +235,27 @@ def winner_seqs(
     any parallelism: every aggregate is associative/commutative over the
     total (version, tie) order.
     """
-    if len(order) != 2:  # general fallback: the defining struct-max form
+    if len(order) != 2:  # general fallback: the defining struct-max form,
+        # with the same explicit salted split for hot keys (SortAggregate-
+        # planned, but order tuples beyond (version, tie) are not an engine
+        # path — generality over speed here)
         tie = order[-1]
         w = F.max(F.struct(*[F.col(c) for c in order])).alias("_w")
-        return (
-            df.select(key, *order)
-            .groupBy(key)
+        keys = df.select(key, *order)
+        if not hot_keys:
+            return keys.groupBy(key).agg(w).select(F.col(f"_w.{tie}").alias(tie))
+        is_hot = F.coalesce(F.col(key).isin(list(hot_keys)), F.lit(False))
+        cold = keys.filter(~is_hot).groupBy(key).agg(w)
+        phase1 = (
+            keys.filter(is_hot)
+            .withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(tie)), F.lit(n_salts)).cast("int")
+            )
+            .groupBy(key, "_salt")
             .agg(w)
-            .select(F.col(f"_w.{tie}").alias(tie))
         )
+        hot = phase1.select(key, "_w.*").groupBy(key).agg(w)
+        return cold.unionByName(hot).select(F.col(f"_w.{tie}").alias(tie))
     return _winner_ties(df, key, order, hot_keys=hot_keys, n_salts=n_salts)
 
 
@@ -319,7 +356,7 @@ def lww_dedup_salted(
         winners = _winner_ties(
             df, key, order, n_salts=n_salts, salted_all=True, keep_key=True
         )
-        return df.join(winners.hint("shuffle_hash"), [key, tie], "left_semi")
+        return _join_back(df, winners, key, tie)
 
     hot_keys = sample_hot_keys(
         df,
@@ -331,4 +368,4 @@ def lww_dedup_salted(
     winners = _winner_ties(
         df, key, order, hot_keys=hot_keys, n_salts=n_salts, keep_key=True
     )
-    return df.join(winners.hint("shuffle_hash"), [key, tie], "left_semi")
+    return _join_back(df, winners, key, tie)

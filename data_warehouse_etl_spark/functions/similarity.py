@@ -426,7 +426,12 @@ def _srp_bucket_spark(col: str) -> str:
     # never excludes tombstones and every delete-only sync needlessly reads
     # and rewrites partition srp_bucket=0 (round-5 advisor finding). Each
     # plane's CASE alone yields 0 for NULL (NULL >= 0 is falsy), so the
-    # null check must be explicit.
+    # null check must be explicit. DELIBERATE dialect divergence: the
+    # DuckDB twin (_srp_bucket_duck) keeps its round-5 form because it is
+    # embedded verbatim in the frozen v4/v5 oracle SQL — null embeddings
+    # never reach the oracle-compared queries (the embeddings table is
+    # non-null by schema); the NULL branch exists solely for the spark-side
+    # index-maintenance tombstones.
     terms = []
     for j, p in enumerate(_SRP_PLANES):
         arr = "array(" + ", ".join(f"CAST({c} AS DOUBLE)" for c in p) + ")"

@@ -69,8 +69,21 @@ def _spread_docs_view(spark: SparkSession, sf_dir: str) -> str:
 
     path = f"{sf_dir}/documents.parquet"
     df = spark.read.parquet(path)
+
+    def _input_bytes(p: str) -> int:
+        # a Spark-written "file" is a DIRECTORY of part files whose inode
+        # size is ~4KB — sum the tree, or a multi-GB corpus would be
+        # misclassified as small and pay a full repartition shuffle
+        if _os.path.isdir(p):
+            return sum(
+                _os.path.getsize(_os.path.join(root, fn))
+                for root, _dirs, fns in _os.walk(p)
+                for fn in fns
+            )
+        return _os.path.getsize(p)
+
     try:
-        small = _os.path.getsize(path) < 2 * 16 * 1024 * 1024
+        small = _input_bytes(path) < 2 * 16 * 1024 * 1024
     except OSError:
         small = False
     if small:

@@ -330,15 +330,13 @@ class LakeTable:
         """
         m = self.manifest
         if len(m.version_cols) == 2:
-            from ..cdc.dedup import _winner_ties
+            from ..cdc.dedup import _join_back, _winner_ties
 
             tie = m.version_cols[-1]
             winners = _winner_ties(
                 df, m.row_key, tuple(m.version_cols), keep_key=True
             )
-            return df.join(
-                winners.hint("shuffle_hash"), [m.row_key, tie], "left_semi"
-            ).select(*df.columns)
+            return _join_back(df, winners, m.row_key, tie).select(*df.columns)
         value_cols = [c for c in df.columns if c != m.row_key]
         return (
             df.groupBy(m.row_key)

@@ -525,3 +525,29 @@ def test_simhash_hamming_verify_cuts_the_candidate_flood(spark):
     raw, verified = rows["d4_dedup_simhash"], rows["d4_simhash_hamming_verified"]
     assert verified["precision"] > raw["precision"]
     assert verified["recall"] <= raw["recall"]
+
+
+def test_null_key_rows_survive_dedup(spark):
+    """A NULL key is an ordinary group (round-6 review finding: the semi-
+    join row recovery must be null-safe on both columns, or NULL-key rows
+    silently vanish where the aggregation form kept a winner for them)."""
+    from data_warehouse_etl_spark.cdc.dedup import (
+        lww_dedup_broadcast_keys,
+        lww_dedup_salted,
+    )
+
+    rows = [(1, None, "2024-01-01 10:00:00", "n1"),
+            (2, None, "2024-01-01 11:00:00", "n2"),
+            (3, "A", "2024-01-01 10:00:00", "a1")]
+    df = (
+        spark.createDataFrame(rows, "seq long, url string, ts string, payload string")
+        .withColumn("warc_ts", F.col("ts").cast("timestamp"))
+        .drop("ts")
+    )
+    for fn in (lww_dedup, lambda d: lww_dedup_salted(d, n_salts=4),
+               lambda d: lww_dedup_salted(d, n_salts=4, hot_threshold=1)):
+        got = {r["url"]: r["payload"] for r in fn(df).collect()}
+        assert got == {None: "n2", "A": "a1"}, got
+    # broadcast-keys path: winner set must include the NULL-key winner seq
+    bc = {r["payload"] for r in lww_dedup_broadcast_keys(df).collect()}
+    assert bc == {"n2", "a1"}

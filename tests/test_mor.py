@@ -224,3 +224,32 @@ def test_long_replay_compaction_cadence_bound(spark, tmp_lake):
     )
     other.run()
     assert state_hash(other.read_pages()) == h8  # cadence is a pure layout knob
+
+
+def test_post_shuffle_extract_state_identical(spark, tmp_lake, monkeypatch):
+    """The adaptive extract placement (round 6) must be value-invariant:
+    forcing the post-exchange path (threshold 0) and forcing the
+    pre-exchange path (threshold inf) reach byte-identical state —
+    including across the schema-evolution boundary — and both produce
+    non-null text for live rows. Unit-scale batches otherwise always take
+    the pre path, leaving the post machinery (placeholder text column,
+    post_shuffle enrich on _deleted mask) uncovered."""
+    from data_warehouse_etl_spark.cdc import engine as engine_mod
+
+    led = _ledger(tmp_lake)
+
+    def run(name: str, threshold: int) -> str:
+        monkeypatch.setattr(
+            engine_mod, "_POST_SHUFFLE_MIN_ROWS_PER_TASK", threshold
+        )
+        eng = CdcEngine(spark, _cfg(led, tmp_lake, name))
+        eng.run()
+        pages = eng.read_pages()
+        live_with_text = pages.filter("text IS NOT NULL").count()
+        assert live_with_text > 0, "extract produced no text"
+        assert "language" in pages.columns  # post-evolution schema visible
+        return str(state_hash(pages))
+
+    h_post = run("pages_post", 0)
+    h_pre = run("pages_pre", 10**12)
+    assert h_post == h_pre
